@@ -1,0 +1,73 @@
+"""Benchmark: DeepFM training throughput (examples/s) on one chip.
+
+Criteo-shaped synthetic workload: 26 sparse features + 13 dense (the Criteo
+layout used by the reference's run_classification_criteo.py), batch 4096.
+Prints ONE JSON line. ``vs_baseline`` is examples/s relative to the recorded
+reference-framework CPU/GPU figure when available (the reference publishes
+none — BASELINE.md — so 1.0 means 'no recorded baseline; self-measured').
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from deepctr_tpu.features import canonicalize_batch
+    from deepctr_tpu.models import DeepFM
+    from deepctr_tpu import DenseFeat, SparseFeat
+
+    BATCH = 4096
+    STEPS = 30
+
+    cols = [SparseFeat("C%d" % i, 100_000, 16) for i in range(26)]
+    cols += [DenseFeat("I%d" % i, 1) for i in range(13)]
+
+    rng = np.random.RandomState(0)
+    x = {}
+    for fc in cols:
+        if isinstance(fc, SparseFeat):
+            x[fc.name] = rng.randint(0, fc.vocabulary_size, (BATCH, 1)).astype(np.int32)
+        else:
+            x[fc.name] = rng.rand(BATCH, 1).astype(np.float32)
+    y = rng.randint(0, 2, BATCH).astype(np.float32)[:, None]
+    w = np.ones(BATCH, np.float32)
+
+    model = DeepFM(cols, cols, dnn_hidden_units=(256, 128, 64))
+    model.compile("adam", "binary_crossentropy")
+    xc = canonicalize_batch(x, model.feature_columns)
+    model._ensure_built(xc)
+    train_step = model._build_train_step()
+
+    import jax.numpy as jnp
+
+    xb = {k: jnp.asarray(v) for k, v in xc.items()}
+    yb, wb = jnp.asarray(y), jnp.asarray(w)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state = model.state
+    state, loss, _ = train_step(state, xb, yb, wb, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss, _ = train_step(state, xb, yb, wb, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_s = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "deepfm_criteo_train_examples_per_s_per_chip",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

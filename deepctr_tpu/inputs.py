@@ -1,0 +1,258 @@
+"""Embedding engine: feature columns -> shared tables -> grouped lookups.
+
+TPU-native replacement for the reference's per-feature Keras ``Embedding``
+layers (deepctr/inputs.py:19-181):
+
+- One parameter table per distinct ``embedding_name`` (shared-table dedup with
+  compatibility checks, reference inputs.py:29-37,44-71).
+- Lookups are ``jnp.take`` gathers — XLA lowers these to TPU dynamic-gathers;
+  a fused multi-table Pallas path lives in ops/ for the sharded case.
+- Varlen features pool with *explicit* masks (ids != 0 under ``seq_mask_zero``,
+  or a ``length_name`` input), replacing Keras mask propagation.
+- ``trainable=False`` tables are frozen with ``stop_gradient`` at lookup time.
+
+``EmbeddingTables.__call__`` is the single funnel equivalent to the reference
+``input_from_feature_columns`` (feature_column.py:213-233).
+"""
+from __future__ import annotations
+
+from collections import OrderedDict, defaultdict
+from itertools import chain
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .features import DenseFeat, SparseFeat, VarLenSparseFeat, split_columns
+from .layers.base import l2_reg as _l2_reg
+from .layers.sequence import sequence_pooling, weighted_sequence
+
+
+def resolve_initializer(spec):
+    """Declarative initializer spec -> flax initializer callable."""
+    if callable(spec):
+        return spec
+    if isinstance(spec, (tuple, list)):
+        kind = spec[0]
+        if kind == "normal":
+            _, mean, stddev = spec
+            def init(key, shape, dtype=jnp.float32):
+                return mean + stddev * jax.random.normal(key, shape, dtype)
+            return init
+        if kind == "zeros":
+            return nn.initializers.zeros_init()
+        if kind == "glorot_normal":
+            return nn.initializers.glorot_normal()
+        if kind == "glorot_uniform":
+            return nn.initializers.glorot_uniform()
+        if kind == "truncated_normal":
+            _, mean, stddev = spec
+            def tn_init(key, shape, dtype=jnp.float32):
+                return mean + stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+            return tn_init
+    raise ValueError("Unknown initializer spec: {!r}".format(spec))
+
+
+def build_embedding_plan(feature_columns):
+    """Dedupe feature columns into a table plan {embedding_name: feat} with
+    shared-table compatibility checks (reference inputs.py:29-37)."""
+    sparse, varlen, _ = split_columns(feature_columns)
+    plan = OrderedDict()
+    for feat in chain(sparse, varlen):
+        name = feat.embedding_name
+        if name in plan:
+            existing = plan[name]
+            for attr in ("vocabulary_size", "embedding_dim", "trainable"):
+                if getattr(existing, attr) != getattr(feat, attr):
+                    raise ValueError(
+                        "Feature columns with the same embedding_name must share the same "
+                        "{}. embedding_name='{}' has {} and {}.".format(
+                            attr, name, getattr(existing, attr), getattr(feat, attr)
+                        )
+                    )
+            continue
+        plan[name] = feat.sparsefeat if isinstance(feat, VarLenSparseFeat) else feat
+    return plan
+
+
+def get_dense_input(features, feature_columns):
+    """Dense values with optional transform_fn (reference inputs.py:161-172)."""
+    _, _, dense_cols = split_columns(feature_columns)
+    out = []
+    for fc in dense_cols:
+        v = features[fc.name]
+        if fc.transform_fn is not None:
+            v = fc.transform_fn(v)
+        out.append(v)
+    return out
+
+
+def merge_group_dicts(a, b):
+    c = defaultdict(list)
+    for k, v in a.items():
+        c[k].extend(v)
+    for k, v in b.items():
+        c[k].extend(v)
+    return c
+
+
+class EmbeddingTables(nn.Module):
+    """Shared embedding tables + the lookup/pooling funnel for one tower.
+
+    ``feature_columns`` may mix SparseFeat / VarLenSparseFeat / DenseFeat; the
+    dense ones only flow through ``__call__``'s dense output list.
+    """
+
+    feature_columns: Tuple
+    l2_reg: float = 0.0
+    prefix: str = "sparse"
+    seq_mask_zero: bool = True
+
+    def setup(self):
+        plan = build_embedding_plan(self.feature_columns)
+        tables = {}
+        for name, feat in plan.items():
+            tables[name] = self.param(
+                "emb_" + name,
+                resolve_initializer(feat.embeddings_initializer),
+                (feat.vocabulary_size, feat.embedding_dim),
+            )
+        self._plan = plan
+        self.tables = tables
+
+    def _table(self, feat):
+        t = self.tables[feat.embedding_name]
+        if not feat.trainable:
+            t = jax.lax.stop_gradient(t)
+        return t
+
+    def _reg_all(self):
+        # Full-table l2, matching Keras embeddings_regularizer (inputs.py:22).
+        if self.l2_reg:
+            _l2_reg(self, self.l2_reg, *[self.tables[n] for n in self._plan])
+
+    def lookup(self, features, sparse_cols, return_feat_list=(), to_list=False):
+        """Grouped sparse lookups (reference embedding_lookup, inputs.py:101-117).
+
+        Each output is (B, 1, E). ``use_hash`` ids were hashed on host.
+        """
+        group = defaultdict(list)
+        for fc in sparse_cols:
+            if len(return_feat_list) == 0 or fc.name in return_feat_list:
+                ids = features[fc.name].astype(jnp.int32).reshape(-1)
+                # mode="clip": out-of-vocab ids clamp instead of NaN-filling
+                vec = jnp.take(self._table(fc), ids, axis=0, mode="clip")[:, None, :]
+                group[fc.group_name].append(vec)
+        if to_list:
+            return list(chain.from_iterable(group.values()))
+        return group
+
+    def varlen_lookup(self, features, varlen_cols, return_feat_list=(), to_list=False):
+        """Raw (B, T, E) sequence embeddings (reference inputs.py:120-130)."""
+        out = OrderedDict()
+        for fc in varlen_cols:
+            if len(return_feat_list) == 0 or fc.name in return_feat_list:
+                ids = features[fc.name].astype(jnp.int32)
+                out[fc.name] = jnp.take(self._table(fc), ids, axis=0, mode="clip")
+        if to_list:
+            return list(out.values())
+        return out
+
+    def varlen_mask(self, features, fc):
+        """Explicit (B, T) mask for a varlen feature: from length_name when
+        present, else ids != 0 under seq_mask_zero (Keras mask_zero parity)."""
+        ids = features[fc.name].astype(jnp.int32)
+        if fc.length_name is not None:
+            from .layers.base import sequence_mask
+
+            return sequence_mask(features[fc.length_name], fc.maxlen, jnp.bool_)
+        if self.seq_mask_zero:
+            return ids != 0
+        return jnp.ones_like(ids, dtype=jnp.bool_)
+
+    def pool_varlen(self, features, varlen_cols, to_list=False):
+        """Pooled (B, 1, E) per varlen feature, grouped (reference
+        get_varlen_pooling_list, inputs.py:133-158)."""
+        group = defaultdict(list)
+        seq_embeds = self.varlen_lookup(features, varlen_cols)
+        for fc in varlen_cols:
+            seq = seq_embeds[fc.name]
+            mask = self.varlen_mask(features, fc)
+            if fc.weight_name is not None:
+                seq = weighted_sequence(
+                    seq, features[fc.weight_name], mask=mask,
+                    weight_normalization=fc.weight_norm,
+                )
+            vec = sequence_pooling(seq, fc.combiner, mask=mask)
+            group[fc.group_name].append(vec)
+        if to_list:
+            return list(chain.from_iterable(group.values()))
+        return group
+
+    def __call__(self, features, support_dense=True, support_group=False):
+        """The input_from_feature_columns funnel (feature_column.py:213-233).
+
+        Returns (group_embedding_dict | flat list, dense_value_list).
+        """
+        sparse_cols, varlen_cols, _ = split_columns(self.feature_columns)
+        self._reg_all()
+        group_sparse = self.lookup(features, sparse_cols)
+        dense_values = get_dense_input(features, self.feature_columns)
+        if not support_dense and len(dense_values) > 0:
+            raise ValueError("DenseFeat is not supported in dnn_feature_columns")
+        group_varlen = self.pool_varlen(features, varlen_cols)
+        merged = merge_group_dicts(group_sparse, group_varlen)
+        if not support_group:
+            return list(chain.from_iterable(merged.values())), dense_values
+        return merged, dense_values
+
+
+class LinearLogit(nn.Module):
+    """Wide/linear tower (reference get_linear_logit, feature_column.py:171-210).
+
+    Rebuilds the columns with dim-1 zero-init tables; ``units`` parallel linear
+    terms (used by MLR); optional input-aware refinement weight (IFM/DIFM).
+    Output: (B, units).
+    """
+
+    feature_columns: Tuple
+    units: int = 1
+    use_bias: bool = False
+    l2_reg: float = 0.0
+    prefix: str = "linear"
+
+    @nn.compact
+    def __call__(self, features, sparse_feat_refine_weight=None):
+        from .features import make_linear_columns
+        from .layers.utils import Linear, concat_func
+
+        linear_cols = tuple(make_linear_columns(self.feature_columns))
+        logits = []
+        for i in range(self.units):
+            tower = EmbeddingTables(
+                linear_cols, self.l2_reg, prefix=self.prefix + str(i),
+                name="emb_" + self.prefix + str(i),
+            )
+            sparse_list, dense_list = tower(features)
+            dense_input = concat_func(dense_list) if dense_list else None
+            if dense_input is not None and dense_input.ndim > 2:
+                dense_input = dense_input.reshape(dense_input.shape[0], -1)
+            sparse_input = None
+            if sparse_list:
+                sparse_input = concat_func(sparse_list)  # (B, 1, F)
+                if sparse_feat_refine_weight is not None:
+                    sparse_input = sparse_input * sparse_feat_refine_weight[:, None, :]
+            if sparse_input is not None and dense_input is not None:
+                mode = 2
+            elif sparse_input is not None:
+                mode = 0
+            elif dense_input is not None:
+                mode = 1
+            else:
+                B = next(iter(features.values())).shape[0]
+                return jnp.zeros((B, 1), jnp.float32)
+            logit = Linear(self.l2_reg, mode=mode, use_bias=self.use_bias,
+                           name="linear_%d" % i)(sparse_input, dense_input)
+            logits.append(logit)
+        return concat_func(logits) if len(logits) > 1 else logits[0]

@@ -1,0 +1,33 @@
+"""TPU layer zoo (replaces reference deepctr/layers/__init__.py exports).
+
+No custom_objects registry is needed: persistence rebuilds models from
+factories (training/checkpoint.py), not from layer-name lookups.
+"""
+from .activation import Dice, activation_fn
+from .core import DNN, LocalActivationUnit, PredictionLayer, RegulationModule
+from .interaction import FM
+from .normalization import LayerNormalization
+from .sequence import (
+    AttentionSequencePoolingLayer,
+    BiasEncoding,
+    BiLSTM,
+    DynamicGRU,
+    KMaxPooling,
+    PositionEncoding,
+    Transformer,
+    k_max_pooling,
+    sequence_pooling,
+    weighted_sequence,
+)
+from .utils import Linear, add_func, combined_dnn_input, concat_func, flatten
+
+__all__ = [
+    "Dice", "activation_fn",
+    "DNN", "LocalActivationUnit", "PredictionLayer", "RegulationModule",
+    "FM",
+    "LayerNormalization",
+    "AttentionSequencePoolingLayer", "BiasEncoding", "BiLSTM", "DynamicGRU",
+    "KMaxPooling", "PositionEncoding", "Transformer", "k_max_pooling",
+    "sequence_pooling", "weighted_sequence",
+    "Linear", "add_func", "combined_dnn_input", "concat_func", "flatten",
+]

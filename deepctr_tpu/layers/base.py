@@ -1,0 +1,76 @@
+"""Shared helpers for the TPU layer zoo (flax.linen modules over JAX/XLA)."""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Same very-negative padding constant the reference uses for masked softmax
+# (layers/sequence.py:171,281,587): finite, so exp() underflows to exactly 0.
+MASK_PADDING = -(2.0 ** 32) + 1.0
+
+
+def glorot_normal():
+    return nn.initializers.glorot_normal()
+
+
+def glorot_uniform():
+    return nn.initializers.glorot_uniform()
+
+
+def zeros_init():
+    return nn.initializers.zeros_init()
+
+
+def ones_init():
+    return nn.initializers.ones_init()
+
+
+def truncated_normal(stddev=0.05, mean=0.0):
+    if mean != 0.0:
+        def init(key, shape, dtype=jnp.float32):
+            import jax
+            return mean + stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+        return init
+    return nn.initializers.truncated_normal(stddev=stddev)
+
+
+def add_reg_loss(module: nn.Module, value):
+    """Accumulate an l2-style regularization term into the 'losses' collection.
+
+    The trainer sums every leaf of the 'losses' collection into the total loss,
+    replacing the Keras regularizer-collection mechanism the reference relies
+    on (reference inputs.py:22, layers/core.py:170).
+    """
+    module.sow(
+        "losses",
+        "reg_loss",
+        value,
+        init_fn=lambda: jnp.zeros((), jnp.float32),
+        reduce_fn=lambda a, b: a + b,
+    )
+
+
+def l2_reg(module: nn.Module, coef: float, *weights):
+    if coef:
+        total = jnp.zeros((), jnp.float32)
+        for w in weights:
+            total = total + jnp.sum(jnp.square(w.astype(jnp.float32)))
+        add_reg_loss(module, coef * total)
+
+
+def add_aux_loss(module: nn.Module, value):
+    """Record a model auxiliary loss (e.g. DIEN, reference dien.py:213)."""
+    module.sow(
+        "losses",
+        "aux_loss",
+        value,
+        init_fn=lambda: jnp.zeros((), jnp.float32),
+        reduce_fn=lambda a, b: a + b,
+    )
+
+
+def sequence_mask(lengths, maxlen, dtype=jnp.float32):
+    """(B,1) or (B,) lengths -> (B, maxlen) mask. Replaces tf.sequence_mask."""
+    lengths = lengths.reshape(lengths.shape[0], -1)[:, :1]
+    pos = jnp.arange(maxlen, dtype=jnp.int32)[None, :]
+    return (pos < lengths.astype(jnp.int32)).astype(dtype)

@@ -1,0 +1,51 @@
+"""Shared helpers for model factories."""
+from __future__ import annotations
+
+import functools
+import inspect
+
+import flax.linen as nn
+
+from ..features import build_input_schema
+from ..training.model import CTRModel
+
+
+def unified_feature_columns(*column_lists):
+    """Union of feature columns deduped by input name, order-preserving —
+    equivalent to the reference's build_input_features(linear + dnn) which
+    collapses same-named Inputs (feature_column.py:145-168)."""
+    seen = set()
+    out = []
+    for cols in column_lists:
+        for fc in cols or []:
+            if fc.name not in seen:
+                seen.add(fc.name)
+                out.append(fc)
+    return out
+
+
+def register(fn):
+    """Record the factory call on the returned CTRModel for save_model."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        model = fn(*args, **kwargs)
+        sig = inspect.signature(fn)
+        bound = sig.bind(*args, **kwargs)
+        bound.apply_defaults()
+        model._build_spec = (fn.__name__, dict(bound.arguments))
+        return model
+
+    return wrapper
+
+
+class DenseLogit(nn.Module):
+    """Keras Dense(1, use_bias=False) equivalent for tower logits."""
+
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            1, use_bias=self.use_bias, kernel_init=nn.initializers.glorot_uniform()
+        )(x)

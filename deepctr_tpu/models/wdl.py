@@ -1,0 +1,57 @@
+"""Wide & Deep (reference deepctr/models/wdl.py:22-56)."""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+
+from ..inputs import EmbeddingTables, LinearLogit
+from ..layers.core import DNN, PredictionLayer
+from ..layers.utils import add_func, combined_dnn_input
+from ._common import DenseLogit, register, unified_feature_columns
+from ..training.model import CTRModel
+
+
+class WDLModule(nn.Module):
+    linear_feature_columns: Tuple
+    dnn_feature_columns: Tuple
+    dnn_hidden_units: Tuple[int, ...] = (256, 128, 64)
+    l2_reg_linear: float = 1e-5
+    l2_reg_embedding: float = 1e-5
+    l2_reg_dnn: float = 0.0
+    seed: int = 1024
+    dnn_dropout: float = 0.0
+    dnn_activation: Any = "relu"
+    task: str = "binary"
+
+    @nn.compact
+    def __call__(self, features, training: bool = False):
+        linear_logit = LinearLogit(
+            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
+        )(features)
+        sparse_list, dense_list = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
+        )(features)
+        dnn_input = combined_dnn_input(sparse_list, dense_list)
+        dnn_out = DNN(
+            tuple(self.dnn_hidden_units), self.dnn_activation, self.l2_reg_dnn,
+            self.dnn_dropout, False, seed=self.seed, name="dnn",
+        )(dnn_input, training=training)
+        dnn_logit = DenseLogit(name="dnn_logit")(dnn_out)
+        final_logit = add_func([dnn_logit, linear_logit])
+        return PredictionLayer(self.task)(final_logit)
+
+
+@register
+def WDL(linear_feature_columns, dnn_feature_columns, dnn_hidden_units=(256, 128, 64),
+        l2_reg_linear=0.00001, l2_reg_embedding=0.00001, l2_reg_dnn=0, seed=1024,
+        dnn_dropout=0, dnn_activation="relu", task="binary"):
+    """Instantiates the Wide&Deep architecture (same signature as the
+    reference wdl.py:19). Returns a CTRModel."""
+    module = WDLModule(
+        tuple(linear_feature_columns), tuple(dnn_feature_columns),
+        tuple(dnn_hidden_units), l2_reg_linear, l2_reg_embedding, l2_reg_dnn,
+        seed, dnn_dropout, dnn_activation, task,
+    )
+    fcs = unified_feature_columns(linear_feature_columns, dnn_feature_columns)
+    return CTRModel(module, fcs, task=task, seed=seed)

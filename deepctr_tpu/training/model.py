@@ -1,0 +1,333 @@
+"""CTRModel: the Keras-fit-equivalent training driver over a flax module.
+
+Replaces the reference's Keras ``model.compile/fit/predict/evaluate`` path
+(docs Quick-Start steps 1-4, exercised at tests/utils.py:356-381) with a
+jit-compiled train step:
+
+- loss = task loss(es) + every leaf of the module's 'losses' collection
+  (l2 regularization terms + model auxiliary losses, e.g. DIEN)
+- optimizer = any optax transform (or a name); state held in a TrainState
+- static-shape batching (training/data.py) -> exactly one XLA program per
+  batch size
+- optional ``jax.sharding.Mesh``: batch sharded over 'data', embedding tables
+  row-sharded over 'model' (parallel/sharding.py)
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..features import canonicalize_batch, get_feature_names
+from . import data as data_lib
+from . import metrics as metrics_lib
+from . import optimizers as opt_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    model_state: Any  # non-param collections (e.g. batch_stats)
+    step: jnp.ndarray
+
+
+def _sum_losses_collection(mutated):
+    total = jnp.zeros((), jnp.float32)
+    if "losses" in mutated:
+        for leaf in jax.tree.leaves(mutated["losses"]):
+            total = total + jnp.sum(leaf)
+    return total
+
+
+class History:
+    def __init__(self):
+        self.history: Dict[str, List[float]] = {}
+        self.epoch: List[int] = []
+
+    def append(self, epoch, logs):
+        self.epoch.append(epoch)
+        for k, v in logs.items():
+            self.history.setdefault(k, []).append(v)
+
+
+class CTRModel:
+    """Holds a flax module + variables and drives train/eval/predict.
+
+    ``module.__call__(features_dict, training: bool)`` must return predictions
+    of shape (B, num_outputs).
+    """
+
+    def __init__(self, module, feature_columns, task="binary", num_outputs=1, seed=1024,
+                 output_names=None):
+        self.module = module
+        self.feature_columns = list(feature_columns)
+        self.feature_names = get_feature_names(self.feature_columns)
+        self.task = task
+        self.num_outputs = num_outputs
+        self.output_names = output_names
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self.optimizer = None
+        self.loss_fns: List[Callable] = []
+        self.loss_weights: Optional[Sequence[float]] = None
+        self.metrics: List = []
+        self.mesh = None
+        self.history = History()
+        self._train_step = None
+        self._predict_step = None
+        self._rng = jax.random.PRNGKey(seed)
+        # set by model factories for save_model/load_model round-trips
+        self._build_spec = None
+
+    # ------------------------------------------------------------------
+    # compile / build
+    # ------------------------------------------------------------------
+    def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
+                mesh=None):
+        self.optimizer = opt_lib.resolve_optimizer(optimizer)
+        if loss is None:
+            loss = "binary_crossentropy" if self.task == "binary" else "mse"
+        if isinstance(loss, (list, tuple)):
+            self.loss_fns = [metrics_lib.resolve_loss(l) for l in loss]
+        else:
+            self.loss_fns = [metrics_lib.resolve_loss(loss)] * self.num_outputs
+        self.loss_weights = loss_weights
+        self.metrics = list(metrics or [])
+        self.mesh = mesh
+        self._train_step = None  # force re-trace with the new optimizer
+        self._predict_step = None
+        return self
+
+    def _init_variables(self, x_canonical):
+        sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
+        self._rng, init_key, drop_key = jax.random.split(self._rng, 3)
+        variables = self.module.init(
+            {"params": init_key, "dropout": drop_key}, sample, training=False
+        )
+        variables = flax.core.unfreeze(variables)
+        params = variables.pop("params")
+        variables.pop("losses", None)
+        return params, variables
+
+    def _ensure_built(self, x_canonical):
+        if self.state is not None:
+            return
+        if self.optimizer is None:
+            self.compile()
+        params, model_state = self._init_variables(x_canonical)
+        if self.mesh is not None:
+            # Shard params BEFORE optimizer.init so optimizer slots (zeros_like)
+            # inherit the same shardings.
+            from ..parallel.sharding import replicate, shard_params
+
+            params = shard_params(params, self.mesh)
+            model_state = replicate(model_state, self.mesh)
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            params=params, opt_state=opt_state, model_state=model_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _loss_from_outputs(self, preds, y, w):
+        preds = preds.reshape(preds.shape[0], -1)
+        y = y.reshape(y.shape[0], -1)
+        total = jnp.zeros((), jnp.float32)
+        per_task = []
+        for i, fn in enumerate(self.loss_fns):
+            li = fn(y[:, i], preds[:, i], w)
+            lw = self.loss_weights[i] if self.loss_weights is not None else 1.0
+            per_task.append(li)
+            total = total + lw * li
+        return total, per_task
+
+    def _build_train_step(self):
+        module = self.module
+        optimizer = self.optimizer
+        mesh = self.mesh
+
+        def train_step(state: TrainState, xb, yb, wb, rng):
+            if mesh is not None:
+                from ..parallel.sharding import constrain_batch
+
+                xb, yb, wb = constrain_batch(mesh, xb, yb, wb)
+
+            def loss_fn(params):
+                variables = {"params": params, **state.model_state}
+                out, mutated = module.apply(
+                    variables, xb, training=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats", "losses"],
+                )
+                task_loss, _ = self._loss_from_outputs(out, yb, wb)
+                extra = _sum_losses_collection(mutated)
+                return task_loss + extra, (mutated, task_loss)
+
+            (loss, (mutated, task_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_model_state = {k: v for k, v in mutated.items() if k != "losses"}
+            # keep collections that were not mutated this step
+            for k, v in state.model_state.items():
+                if k not in new_model_state:
+                    new_model_state[k] = v
+            new_state = TrainState(
+                params=new_params, opt_state=new_opt_state,
+                model_state=new_model_state, step=state.step + 1,
+            )
+            return new_state, loss, task_loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_predict_step(self):
+        module = self.module
+        mesh = self.mesh
+
+        def predict_step(params, model_state, xb):
+            if mesh is not None:
+                from ..parallel.sharding import constrain_batch
+
+                (xb,) = constrain_batch(mesh, xb)
+            variables = {"params": params, **model_state}
+            return module.apply(variables, xb, training=False)
+
+        return jax.jit(predict_step)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def _canon_y(self, y):
+        if isinstance(y, (list, tuple)):
+            y = np.stack([np.asarray(t).reshape(len(t)) for t in y], axis=1)
+        else:
+            y = np.asarray(y)
+            if y.ndim == 1:
+                y = y[:, None]
+        return np.ascontiguousarray(y, np.float32)
+
+    def fit(self, x, y, batch_size=256, epochs=1, verbose=1, initial_epoch=0,
+            validation_split=0.0, validation_data=None, shuffle=True,
+            sample_weight=None):
+        xc = canonicalize_batch(x, self.feature_columns)
+        yc = self._canon_y(y)
+        n = len(yc)
+        w = (
+            np.asarray(sample_weight, np.float32)
+            if sample_weight is not None
+            else np.ones(n, np.float32)
+        )
+
+        val = None
+        if validation_data is not None:
+            vx, vy = validation_data[0], validation_data[1]
+            val = (canonicalize_batch(vx, self.feature_columns), self._canon_y(vy))
+        elif validation_split and 0.0 < validation_split < 1.0:
+            (xc, yc, w), (vx, vy, _) = data_lib.train_valid_split(xc, yc, w, validation_split)
+            val = (vx, vy)
+            n = len(yc)
+
+        self._ensure_built(xc)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        steps_per_epoch = data_lib.num_batches(n, batch_size)
+        if verbose:
+            print(
+                "Train on {} samples{}, {} steps per epoch".format(
+                    n, " validate on {} samples".format(len(val[1])) if val else "",
+                    steps_per_epoch,
+                )
+            )
+        np_rng = np.random.RandomState(self.seed)
+        for epoch in range(initial_epoch, epochs):
+            t0 = time.time()
+            loss_sum, weight_sum = 0.0, 0.0
+            for xb, yb, wb, n_real in data_lib.iterate_batches(
+                xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng
+            ):
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, loss, task_loss = self._train_step(
+                    self.state, xb, yb, wb, step_rng
+                )
+                loss_sum += float(loss) * n_real
+                weight_sum += n_real
+            logs = {"loss": loss_sum / max(weight_sum, 1.0)}
+            if val is not None:
+                val_logs = self.evaluate(val[0], val[1], batch_size=batch_size,
+                                         _already_canonical=True)
+                logs.update({"val_" + k: v for k, v in val_logs.items()})
+            self.history.append(epoch, logs)
+            if verbose:
+                msg = " - ".join("{}: {:.4f}".format(k, v) for k, v in logs.items())
+                print("Epoch {}/{} - {:.1f}s - {}".format(epoch + 1, epochs, time.time() - t0, msg))
+        return self.history
+
+    def predict(self, x, batch_size=256, _already_canonical=False):
+        xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
+        self._ensure_built(xc)
+        if self._predict_step is None:
+            self._predict_step = self._build_predict_step()
+        outs = []
+        for xb, _, _, n_real in data_lib.iterate_batches(xc, None, None, batch_size):
+            out = self._predict_step(self.state.params, self.state.model_state, xb)
+            outs.append(np.asarray(out)[:n_real])
+        return np.concatenate(outs, axis=0)
+
+    def evaluate(self, x, y, batch_size=256, _already_canonical=False):
+        xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
+        yc = self._canon_y(y)
+        preds = self.predict(xc, batch_size=batch_size, _already_canonical=True)
+        preds = preds.reshape(len(yc), -1)
+        w = np.ones(len(yc), np.float32)
+        logs = {}
+        total = 0.0
+        for i, fn in enumerate(self.loss_fns):
+            li = float(fn(jnp.asarray(yc[:, i]), jnp.asarray(preds[:, i]), jnp.asarray(w)))
+            lw = self.loss_weights[i] if self.loss_weights is not None else 1.0
+            total += lw * li
+        logs["loss"] = total
+        for m in self.metrics:
+            fn = metrics_lib.resolve_metric(m)
+            name = m if isinstance(m, str) else getattr(m, "__name__", "metric")
+            if self.num_outputs > 1:
+                for i in range(self.num_outputs):
+                    out_name = (
+                        self.output_names[i] if self.output_names else "out_{}".format(i)
+                    )
+                    logs["{}_{}".format(out_name, name)] = float(fn(yc[:, i], preds[:, i]))
+            else:
+                logs[name] = float(fn(yc[:, 0], preds[:, 0]))
+        return logs
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def get_variables(self):
+        if self.state is None:
+            raise ValueError("Model has no variables yet; call fit/predict first.")
+        return {"params": self.state.params, "model_state": self.state.model_state}
+
+    def save_weights(self, path):
+        from . import checkpoint
+
+        checkpoint.save_weights(self, path)
+
+    def load_weights(self, path):
+        from . import checkpoint
+
+        checkpoint.load_weights(self, path)
+
+    def save(self, path):
+        from . import checkpoint
+
+        checkpoint.save_model(self, path)
