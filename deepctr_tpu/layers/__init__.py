@@ -5,7 +5,24 @@ factories (training/checkpoint.py), not from layer-name lookups.
 """
 from .activation import Dice, activation_fn
 from .core import DNN, LocalActivationUnit, PredictionLayer, RegulationModule
-from .interaction import FM
+from .interaction import (
+    FM,
+    AFMLayer,
+    BiInteractionPooling,
+    BilinearInteraction,
+    BridgeModule,
+    CIN,
+    CrossNet,
+    CrossNetMix,
+    FEFMLayer,
+    FGCNNLayer,
+    FieldWiseBiInteraction,
+    FwFMLayer,
+    InnerProductLayer,
+    InteractingLayer,
+    OutterProductLayer,
+    SENETLayer,
+)
 from .normalization import LayerNormalization
 from .sequence import (
     AttentionSequencePoolingLayer,
@@ -24,7 +41,10 @@ from .utils import Linear, add_func, combined_dnn_input, concat_func, flatten
 __all__ = [
     "Dice", "activation_fn",
     "DNN", "LocalActivationUnit", "PredictionLayer", "RegulationModule",
-    "FM",
+    "FM", "AFMLayer", "BiInteractionPooling", "BilinearInteraction",
+    "BridgeModule", "CIN", "CrossNet", "CrossNetMix", "FEFMLayer",
+    "FGCNNLayer", "FieldWiseBiInteraction", "FwFMLayer", "InnerProductLayer",
+    "InteractingLayer", "OutterProductLayer", "SENETLayer",
     "LayerNormalization",
     "AttentionSequencePoolingLayer", "BiasEncoding", "BiLSTM", "DynamicGRU",
     "KMaxPooling", "PositionEncoding", "Transformer", "k_max_pooling",
