@@ -1,0 +1,89 @@
+"""DCN-Mix (reference deepctr/models/dcnmix.py:24-81)."""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+
+from ..inputs import EmbeddingTables, LinearLogit
+from ..layers.core import DNN, PredictionLayer
+from ..layers.interaction import CrossNetMix
+from ..layers.utils import add_func, combined_dnn_input, concat_func
+from ._common import DenseLogit, register, unified_feature_columns
+from ..training.model import CTRModel
+
+
+class DCNMixModule(nn.Module):
+    linear_feature_columns: Tuple
+    dnn_feature_columns: Tuple
+    cross_num: int = 2
+    dnn_hidden_units: Tuple[int, ...] = (256, 128, 64)
+    l2_reg_linear: float = 1e-5
+    l2_reg_embedding: float = 1e-5
+    low_rank: int = 32
+    num_experts: int = 4
+    l2_reg_cross: float = 1e-5
+    l2_reg_dnn: float = 0.0
+    seed: int = 1024
+    dnn_dropout: float = 0.0
+    dnn_use_bn: bool = False
+    dnn_activation: Any = "relu"
+    task: str = "binary"
+
+    @nn.compact
+    def __call__(self, features, training: bool = False):
+        linear_logit = LinearLogit(
+            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
+        )(features)
+        sparse_list, dense_list = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
+        )(features)
+        dnn_input = combined_dnn_input(sparse_list, dense_list)
+        units, cross = len(self.dnn_hidden_units), self.cross_num
+        if units > 0 and cross > 0:
+            deep_out = DNN(
+                tuple(self.dnn_hidden_units), self.dnn_activation, self.l2_reg_dnn,
+                self.dnn_dropout, self.dnn_use_bn, seed=self.seed, name="dnn",
+            )(dnn_input, training=training)
+            cross_out = CrossNetMix(
+                self.low_rank, self.num_experts, cross, self.l2_reg_cross,
+                name="crossnet",
+            )(dnn_input)
+            final_logit = DenseLogit(name="stack_logit")(
+                concat_func([cross_out, deep_out])
+            )
+        elif units > 0:
+            deep_out = DNN(
+                tuple(self.dnn_hidden_units), self.dnn_activation, self.l2_reg_dnn,
+                self.dnn_dropout, self.dnn_use_bn, seed=self.seed, name="dnn",
+            )(dnn_input, training=training)
+            final_logit = DenseLogit(name="stack_logit")(deep_out)
+        elif cross > 0:
+            cross_out = CrossNetMix(
+                self.low_rank, self.num_experts, cross, self.l2_reg_cross,
+                name="crossnet",
+            )(dnn_input)
+            final_logit = DenseLogit(name="stack_logit")(cross_out)
+        else:
+            raise NotImplementedError
+        final_logit = add_func([final_logit, linear_logit])
+        return PredictionLayer(self.task)(final_logit)
+
+
+@register
+def DCNMix(linear_feature_columns, dnn_feature_columns, cross_num=2,
+           dnn_hidden_units=(256, 128, 64), l2_reg_linear=1e-5,
+           l2_reg_embedding=1e-5, low_rank=32, num_experts=4, l2_reg_cross=1e-5,
+           l2_reg_dnn=0, seed=1024, dnn_dropout=0, dnn_use_bn=False,
+           dnn_activation="relu", task="binary"):
+    """Instantiates DCN-Mix (same signature as reference dcnmix.py:24)."""
+    if len(dnn_hidden_units) == 0 and cross_num == 0:
+        raise ValueError("Either hidden_layer or cross layer must > 0")
+    module = DCNMixModule(
+        tuple(linear_feature_columns), tuple(dnn_feature_columns), cross_num,
+        tuple(dnn_hidden_units), l2_reg_linear, l2_reg_embedding, low_rank,
+        num_experts, l2_reg_cross, l2_reg_dnn, seed, dnn_dropout, dnn_use_bn,
+        dnn_activation, task,
+    )
+    fcs = unified_feature_columns(linear_feature_columns, dnn_feature_columns)
+    return CTRModel(module, fcs, task=task, seed=seed)

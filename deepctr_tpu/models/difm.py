@@ -1,0 +1,92 @@
+"""DIFM (reference deepctr/models/difm.py:22-82)."""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+
+from ..features import SparseFeat, VarLenSparseFeat
+from ..inputs import EmbeddingTables, LinearLogit
+from ..layers.core import DNN, PredictionLayer
+from ..layers.interaction import FM, InteractingLayer
+from ..layers.utils import add_func, combined_dnn_input, concat_func, flatten
+from ._common import register, unified_feature_columns
+from ..training.model import CTRModel
+
+
+class DIFMModule(nn.Module):
+    linear_feature_columns: Tuple
+    dnn_feature_columns: Tuple
+    att_embedding_size: int = 8
+    att_head_num: int = 8
+    att_res: bool = True
+    dnn_hidden_units: Tuple[int, ...] = (256, 128, 64)
+    l2_reg_linear: float = 1e-5
+    l2_reg_embedding: float = 1e-5
+    l2_reg_dnn: float = 0.0
+    seed: int = 1024
+    dnn_dropout: float = 0.0
+    dnn_activation: Any = "relu"
+    dnn_use_bn: bool = False
+    task: str = "binary"
+
+    @nn.compact
+    def __call__(self, features, training: bool = False):
+        sparse_feat_num = len([
+            fc for fc in self.dnn_feature_columns
+            if isinstance(fc, (SparseFeat, VarLenSparseFeat))
+        ])
+        sparse_list, _ = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
+        )(features)
+        if not len(sparse_list) > 0:
+            raise ValueError("there are no sparse features")
+
+        att_input = concat_func(sparse_list, axis=1)
+        att_out = InteractingLayer(
+            self.att_embedding_size, self.att_head_num, self.att_res, scaling=True,
+            name="vector_wise_net",
+        )(att_input)
+        m_vec = nn.Dense(
+            sparse_feat_num, use_bias=False,
+            kernel_init=nn.initializers.glorot_uniform(), name="m_vec",
+        )(flatten(att_out))
+
+        dnn_input = combined_dnn_input(sparse_list, [])
+        dnn_output = DNN(
+            tuple(self.dnn_hidden_units), self.dnn_activation, self.l2_reg_dnn,
+            self.dnn_dropout, self.dnn_use_bn, seed=self.seed, name="bit_wise_net",
+        )(dnn_input, training=training)
+        m_bit = nn.Dense(
+            sparse_feat_num, use_bias=False,
+            kernel_init=nn.initializers.glorot_uniform(), name="m_bit",
+        )(dnn_output)
+
+        input_aware_factor = m_vec + m_bit
+
+        linear_logit = LinearLogit(
+            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, sparse_feat_refine_weight=input_aware_factor)
+
+        fm_input = concat_func(sparse_list, axis=1)
+        refined_fm_input = fm_input * input_aware_factor[:, :, None]
+        fm_logit = FM()(refined_fm_input)
+        return PredictionLayer(self.task)(add_func([linear_logit, fm_logit]))
+
+
+@register
+def DIFM(linear_feature_columns, dnn_feature_columns, att_embedding_size=8,
+         att_head_num=8, att_res=True, dnn_hidden_units=(256, 128, 64),
+         l2_reg_linear=1e-5, l2_reg_embedding=1e-5, l2_reg_dnn=0, seed=1024,
+         dnn_dropout=0, dnn_activation="relu", dnn_use_bn=False, task="binary"):
+    """Instantiates DIFM (same signature as reference difm.py:22)."""
+    if not len(dnn_hidden_units) > 0:
+        raise ValueError("dnn_hidden_units is null!")
+    module = DIFMModule(
+        tuple(linear_feature_columns), tuple(dnn_feature_columns),
+        att_embedding_size, att_head_num, att_res, tuple(dnn_hidden_units),
+        l2_reg_linear, l2_reg_embedding, l2_reg_dnn, seed, dnn_dropout,
+        dnn_activation, dnn_use_bn, task,
+    )
+    fcs = unified_feature_columns(linear_feature_columns, dnn_feature_columns)
+    return CTRModel(module, fcs, task=task, seed=seed)

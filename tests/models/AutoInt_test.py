@@ -1,0 +1,17 @@
+import pytest
+
+from deepctr_tpu.models import AutoInt
+
+from tests.utils import SAMPLE_SIZE, check_model, get_test_data
+
+
+@pytest.mark.parametrize("att_layer_num,dnn_hidden_units,sparse_feature_num",
+                         [(1, (4,), 1), (1, (), 3), (2, (4, 4), 2)])
+def test_AutoInt(att_layer_num, dnn_hidden_units, sparse_feature_num):
+    x, y, feature_columns = get_test_data(
+        SAMPLE_SIZE, sparse_feature_num=sparse_feature_num,
+        dense_feature_num=sparse_feature_num,
+    )
+    model = AutoInt(feature_columns, feature_columns, att_layer_num=att_layer_num,
+                    dnn_hidden_units=dnn_hidden_units, dnn_dropout=0.5)
+    check_model(model, "AutoInt", x, y)
