@@ -21,6 +21,7 @@ from .pnn import PNN
 from .wdl import WDL
 from .xdeepfm import xDeepFM
 from .sequence import BST, DIEN, DIN, DSIN
+from .multitask import ESMM, MMOE, PLE, SharedBottom
 
 NFFM = ONN  # reference alias (deepctr/models/__init__.py:27)
 
@@ -29,4 +30,5 @@ __all__ = [
     "EDCN", "FGCNN", "FiBiNET", "FLEN", "FNN", "FwFM", "IFM", "MLR", "NFM",
     "NFFM", "ONN", "PNN", "WDL", "xDeepFM",
     "BST", "DIEN", "DIN", "DSIN",
+    "ESMM", "MMOE", "PLE", "SharedBottom",
 ]
