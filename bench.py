@@ -1,10 +1,14 @@
 """Benchmark: DeepFM training throughput (examples/s) on one chip.
 
-Criteo-shaped synthetic workload: 26 sparse features + 13 dense (the Criteo
-layout used by the reference's run_classification_criteo.py), batch 4096.
+Criteo-shaped synthetic workload: 26 sparse features (100k vocab, dim 16) +
+13 dense — the layout of the reference's run_classification_criteo.py —
+batch 32768 (typical accelerator CTR batch; MLPerf DLRM uses 32k-64k global).
+Optimizer: adam on the dense tower + row-wise adagrad on embedding tables
+(the recommended TPU configuration, training/optimizers.py).
+
 Prints ONE JSON line. ``vs_baseline`` is examples/s relative to the recorded
-reference-framework CPU/GPU figure when available (the reference publishes
-none — BASELINE.md — so 1.0 means 'no recorded baseline; self-measured').
+reference-framework figure when available — the reference publishes none
+(BASELINE.md), so null means 'no recorded baseline; self-measured'.
 """
 from __future__ import annotations
 
@@ -13,16 +17,18 @@ import time
 
 import numpy as np
 
+BATCH = 32768
+STEPS = 50
+
 
 def main():
     import jax
+    import jax.numpy as jnp
 
+    from deepctr_tpu import DenseFeat, SparseFeat
     from deepctr_tpu.features import canonicalize_batch
     from deepctr_tpu.models import DeepFM
-    from deepctr_tpu import DenseFeat, SparseFeat
-
-    BATCH = 4096
-    STEPS = 30
+    from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
     cols = [SparseFeat("C%d" % i, 100_000, 16) for i in range(26)]
     cols += [DenseFeat("I%d" % i, 1) for i in range(13)]
@@ -38,12 +44,10 @@ def main():
     w = np.ones(BATCH, np.float32)
 
     model = DeepFM(cols, cols, dnn_hidden_units=(256, 128, 64))
-    model.compile("adam", "binary_crossentropy")
+    model.compile(embedding_split_optimizer(), "binary_crossentropy")
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
     train_step = model._build_train_step()
-
-    import jax.numpy as jnp
 
     xb = {k: jnp.asarray(v) for k, v in xc.items()}
     yb, wb = jnp.asarray(y), jnp.asarray(w)
@@ -55,8 +59,8 @@ def main():
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, loss, _ = train_step(state, xb, yb, wb, jax.random.fold_in(key, i))
+    for _ in range(STEPS):
+        state, loss, _ = train_step(state, xb, yb, wb, key)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 

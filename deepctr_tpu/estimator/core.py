@@ -1,0 +1,145 @@
+"""Estimator driver: train/evaluate/predict over input_fns + model_dir
+checkpointing + FTRL/Adagrad dual-optimizer split.
+
+Replaces the reference's custom Head + deepctr_model_fn + tf.estimator
+runtime (estimator/utils.py:13-162): the linear tower trains with FTRL
+(lr 0.005) and everything else with Adagrad (lr 0.01), selected by param
+path exactly as the reference selects by variable scope.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import optax
+
+from ..training import metrics as metrics_lib
+from ..training.optimizers import dual_group_optimizer, ftrl
+
+
+def _named_opt(name, learning_rate):
+    """TF get_optimizer_instance parity (estimator/utils.py:122-123)."""
+    if not isinstance(name, str):
+        return name  # already an optax transform
+    key = name.lower()
+    table = {
+        "ftrl": lambda lr: ftrl(lr),
+        "adagrad": lambda lr: optax.adagrad(lr, initial_accumulator_value=0.1, eps=1e-7),
+        "adam": lambda lr: optax.adam(lr),
+        "sgd": lambda lr: optax.sgd(lr),
+        "rmsprop": lambda lr: optax.rmsprop(lr),
+    }
+    if key not in table:
+        raise ValueError("Unsupported optimizer '{}'".format(name))
+    return table[key](learning_rate)
+
+
+class Estimator:
+    """Drives a CTRModel through input_fn-based train/evaluate/predict."""
+
+    def __init__(self, model, model_dir: Optional[str] = None, task: str = "binary",
+                 linear_optimizer="Ftrl", dnn_optimizer="Adagrad", config=None,
+                 training_chief_hooks=None):
+        self.model = model
+        self.model_dir = model_dir
+        self.task = task
+        self.config = config  # signature parity; unused
+        self.training_chief_hooks = training_chief_hooks  # signature parity
+        optimizer = dual_group_optimizer(
+            linear_opt=_named_opt(linear_optimizer, 0.005),
+            dnn_opt=_named_opt(dnn_optimizer, 0.01),
+        )
+        loss = "binary_crossentropy" if task == "binary" else "mse"
+        self.model.compile(optimizer, loss)
+        self._global_step = 0
+        if self.model_dir:
+            self._maybe_restore()
+
+    # ------------------------------------------------------------------
+    def _ckpt_path(self):
+        return os.path.join(self.model_dir, "checkpoint.bin")
+
+    def _maybe_restore(self):
+        path = self._ckpt_path()
+        if os.path.exists(path):
+            self.model.load_weights(path)
+
+    def _maybe_save(self):
+        if self.model_dir:
+            os.makedirs(self.model_dir, exist_ok=True)
+            self.model.save_weights(self._ckpt_path())
+
+    # ------------------------------------------------------------------
+    def train(self, input_fn, steps: Optional[int] = None, max_steps: Optional[int] = None,
+              hooks=None):
+        import jax
+
+        from ..features import canonicalize_batch
+
+        step_count = 0
+        for xb, yb in input_fn():
+            if yb is None:
+                raise ValueError("train() requires labels from the input_fn")
+            xc = canonicalize_batch(xb, self.model.feature_columns)
+            yc = self.model._canon_y(yb)
+            self.model._ensure_built(xc)
+            if self.model._train_step is None:
+                self.model._train_step = self.model._build_train_step()
+            import jax.numpy as jnp
+
+            w = np.ones(len(yc), np.float32)
+            self.model._rng, rng = jax.random.split(self.model._rng)
+            self.model.state, loss, task_loss = self.model._train_step(
+                self.model.state,
+                {k: jnp.asarray(v) for k, v in xc.items()},
+                jnp.asarray(yc), jnp.asarray(w), rng,
+            )
+            step_count += 1
+            self._global_step += 1
+            if steps is not None and step_count >= steps:
+                break
+            if max_steps is not None and self._global_step >= max_steps:
+                break
+        self._maybe_save()
+        return self
+
+    def evaluate(self, input_fn, steps: Optional[int] = None, hooks=None):
+        preds, labels = [], []
+        for i, (xb, yb) in enumerate(input_fn()):
+            preds.append(self.model.predict(xb, batch_size=len(yb)))
+            labels.append(np.asarray(yb, np.float32).reshape(-1))
+            if steps is not None and i + 1 >= steps:
+                break
+        p = np.concatenate(preds).reshape(-1)
+        y = np.concatenate(labels)
+        # reference Head metrics (estimator/utils.py:28-71)
+        out = {
+            "prediction/mean": float(p.mean()),
+            "label/mean": float(y.mean()),
+            "global_step": self._global_step,
+        }
+        if self.task == "binary":
+            out["LogLoss"] = metrics_lib.logloss_score(y, p)
+            out["AUC"] = metrics_lib.auc_score(y, p)
+            out["loss"] = out["LogLoss"]
+        else:
+            out["MSE"] = metrics_lib.mse_score(y, p)
+            out["MAE"] = metrics_lib.mae_score(y, p)
+            out["loss"] = out["MSE"]
+        return out
+
+    def predict(self, input_fn, hooks=None):
+        """Yields {'pred': ..., 'logits': ...} per example (reference
+        PredictOutput export dict, estimator/utils.py:91-117)."""
+        eps = 1e-7
+        for xb, _ in input_fn():
+            p = self.model.predict(xb, batch_size=len(next(iter(xb.values()))))
+            p = p.reshape(-1)
+            if self.task == "binary":
+                logits = np.log(np.clip(p, eps, 1 - eps) / np.clip(1 - p, eps, 1 - eps))
+            else:
+                logits = p
+            for pi, li in zip(p, logits):
+                yield {"pred": np.array([pi], np.float32),
+                       "logits": np.array([li], np.float32)}

@@ -1,0 +1,185 @@
+"""Pure-Python TFRecord + tf.train.Example reader.
+
+This image ships no TensorFlow, so the reference's
+``tf.data.TFRecordDataset`` + ``tf.io.parse_single_example`` path
+(estimator/inputs.py:22-52) is reimplemented from the wire formats:
+
+- TFRecord framing: little-endian u64 length, u32 masked-crc32c(length),
+  payload bytes, u32 masked-crc32c(payload).
+- ``Example`` protobuf: Example{features=1} -> Features{feature=1 (map)} ->
+  map entry {key=1: string, value=2: Feature} ->
+  Feature{bytes_list=1|float_list=2|int64_list=3}, each a repeated field
+  (floats may be packed).
+
+CRCs are not verified (we only split frames); malformed files raise.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List
+
+import numpy as np
+
+
+def iter_tfrecord_payloads(path: str) -> Iterator[bytes]:
+    """Yield raw record payloads from one TFRecord file.
+
+    Uses the native frame scanner (deepctr_tpu/native) when available,
+    falling back to the pure-Python reader.
+    """
+    try:
+        from .. import native
+
+        scanned = native.scan_tfrecord(path)
+    except Exception:
+        scanned = None
+    if scanned is not None:
+        raw, offsets, lengths = scanned
+        for off, length in zip(offsets, lengths):
+            yield raw[off:off + length]
+        return
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)  # u64 length + u32 length-crc
+            if not header:
+                return
+            if len(header) < 12:
+                raise ValueError("Truncated TFRecord header in %s" % path)
+            (length,) = struct.unpack("<Q", header[:8])
+            payload = f.read(length)
+            if len(payload) < length:
+                raise ValueError("Truncated TFRecord payload in %s" % path)
+            f.read(4)  # payload crc
+            yield payload
+
+
+# --------------------- minimal protobuf wire decoding -----------------------
+
+
+def _read_varint(buf: bytes, pos: int):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's fields."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 0x7
+        if wire == 0:  # varint
+            value, pos = _read_varint(buf, pos)
+        elif wire == 1:  # 64-bit
+            value = buf[pos:pos + 8]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            length, pos = _read_varint(buf, pos)
+            value = buf[pos:pos + length]
+            pos += length
+        elif wire == 5:  # 32-bit
+            value = buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError("Unsupported protobuf wire type %d" % wire)
+        yield field, wire, value
+
+
+def _zigzag_to_signed(v: int) -> int:
+    # int64 fields are stored as plain (not zigzag) varints in Feature
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _parse_feature(buf: bytes):
+    """Feature message -> (kind, list of values)."""
+    for field, wire, value in _iter_fields(buf):
+        if field == 1:  # BytesList{value=1 repeated bytes}
+            out = [v for f, w, v in _iter_fields(value) if f == 1]
+            return "bytes", out
+        if field == 2:  # FloatList{value=1 repeated float (packed or not)}
+            out: List[float] = []
+            for f, w, v in _iter_fields(value):
+                if f != 1:
+                    continue
+                if w == 2:  # packed
+                    out.extend(np.frombuffer(v, dtype="<f4").tolist())
+                else:  # single 32-bit
+                    out.append(struct.unpack("<f", v)[0])
+            return "float", out
+        if field == 3:  # Int64List{value=1 repeated int64 (packed or not)}
+            out = []
+            for f, w, v in _iter_fields(value):
+                if f != 1:
+                    continue
+                if w == 2:  # packed varints
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        out.append(_zigzag_to_signed(x))
+                else:
+                    out.append(_zigzag_to_signed(v))
+            return "int64", out
+    return "bytes", []
+
+
+def parse_example(payload: bytes) -> Dict[str, tuple]:
+    """tf.train.Example bytes -> {name: (kind, values)}."""
+    out: Dict[str, tuple] = {}
+    for field, wire, value in _iter_fields(payload):
+        if field != 1:  # Example.features
+            continue
+        for f2, w2, entry in _iter_fields(value):
+            if f2 != 1:  # Features.feature map entry
+                continue
+            key = None
+            feat = ("bytes", [])
+            for f3, w3, v3 in _iter_fields(entry):
+                if f3 == 1:
+                    key = v3.decode("utf-8")
+                elif f3 == 2:
+                    feat = _parse_feature(v3)
+            if key is not None:
+                out[key] = feat
+    return out
+
+
+def read_tfrecord_examples(filenames, feature_description) -> Dict[str, np.ndarray]:
+    """Read whole TFRecord file(s) into dense column arrays.
+
+    ``feature_description``: {name: FixedLenFeature(shape, dtype)} — the
+    same role as tf.io.FixedLenFeature in the reference input_fn.
+    """
+    if isinstance(filenames, str):
+        filenames = [filenames]
+    columns = {name: [] for name in feature_description}
+    for path in filenames:
+        for payload in iter_tfrecord_payloads(path):
+            parsed = parse_example(payload)
+            for name, spec in feature_description.items():
+                if name not in parsed:
+                    if spec.default_value is None:
+                        raise ValueError(
+                            "Feature '%s' missing and has no default" % name
+                        )
+                    columns[name].append(spec.default_value)
+                else:
+                    _, values = parsed[name]
+                    columns[name].append(values)
+    out = {}
+    for name, spec in feature_description.items():
+        dtype = np.float32 if "float" in str(spec.dtype) else np.int64
+        arr = np.asarray(columns[name], dtype=dtype)
+        want = tuple(spec.shape)
+        if want and arr.ndim == 2 and arr.shape[1] == int(np.prod(want)):
+            arr = arr.reshape((-1,) + want)
+        out[name] = arr
+    return out

@@ -83,7 +83,16 @@ def hash_array(arr, num_buckets: int, mask_zero: bool = False, vocabulary_path=N
         return uniq_ids[inv].reshape(arr.shape).astype(np.int32)
 
     buckets = num_buckets - 1 if mask_zero else num_buckets
-    uniq_ids = np.array([_hash_str(u) % buckets for u in uniq], dtype=np.int64)
+    uniq_ids = None
+    if len(uniq) > 256:
+        # native vectorized FNV-1a (bit-identical); None if lib unavailable
+        from . import native
+
+        native_out = native.hash_strings(list(uniq), buckets, mask_zero=False)
+        if native_out is not None:
+            uniq_ids = native_out.astype(np.int64)
+    if uniq_ids is None:
+        uniq_ids = np.array([_hash_str(u) % buckets for u in uniq], dtype=np.int64)
     out = uniq_ids[inv].reshape(arr.shape)
     if mask_zero:
         zero_repr = _stringify(np.zeros([1], dtype=arr.dtype if arr.dtype.kind in "iuf" else np.int32))[0]

@@ -419,8 +419,9 @@ class Transformer(nn.Module):
             Kn = LayerNormalization()(K)
             scores = jnp.einsum("bhqd,bhkd->bhqk", Qn, Kn) / (D ** 0.5)
         elif self.attention_type == "additive":
-            b = self.param("b", glorot_uniform(), (D,))
-            v = self.param("v", glorot_uniform(), (D,))
+            # flax glorot needs >=2D shapes; keep a leading singleton axis
+            b = self.param("b", glorot_uniform(), (1, D))[0]
+            v = self.param("v", glorot_uniform(), (1, D))[0]
             hidden = jnp.tanh(Q[:, :, :, None, :] + K[:, :, None, :, :] + b)
             scores = jnp.einsum("bhqkd,d->bhqk", hidden, v)
         else:

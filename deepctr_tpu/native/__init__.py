@@ -1,0 +1,115 @@
+"""ctypes loader for the native host-ops library (src/hostops.cc).
+
+The library is built on demand with g++ (no pybind11 — plain C ABI).
+Everything here degrades gracefully: if the toolchain or build is
+unavailable, callers fall back to the pure-Python implementations
+(deepctr_tpu/hashing.py, estimator/tfrecord.py), which are bit-identical.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "hostops.cc")
+_LIB = os.path.join(_HERE, "libhostops.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.fnv1a64_bucket.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.fnv1a64_bucket.restype = None
+        lib.tfrecord_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.tfrecord_scan.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def hash_strings(strings, num_buckets: int, mask_zero: bool = False):
+    """Vectorized FNV-1a bucket hashing of a 1-D sequence of strings.
+
+    Returns int32 buckets, or None if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    encoded = [s.encode("utf-8") for s in strings]
+    n = len(encoded)
+    offsets = np.zeros(n + 1, np.int64)
+    for i, b in enumerate(encoded):
+        offsets[i + 1] = offsets[i] + len(b)
+    blob = b"".join(encoded)
+    data = np.frombuffer(blob, np.uint8) if blob else np.zeros(0, np.uint8)
+    out = np.empty(n, np.int32)
+    lib.fnv1a64_bucket(
+        data.ctypes.data if n else 0, offsets.ctypes.data, n, num_buckets,
+        1 if mask_zero else 0, out.ctypes.data,
+    )
+    return out
+
+
+def scan_tfrecord(path: str):
+    """(offsets, lengths) of every record payload in a TFRecord file, or
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        raw = f.read()
+    data = np.frombuffer(raw, np.uint8)
+    cap = max(16, len(raw) // 12)
+    off = np.empty(cap, np.int64)
+    length = np.empty(cap, np.int64)
+    n = lib.tfrecord_scan(data.ctypes.data, len(raw), off.ctypes.data,
+                          length.ctypes.data, cap)
+    if n < 0:
+        raise ValueError("Malformed TFRecord file: %s" % path)
+    if n > cap:  # extremely small records; rescan with exact capacity
+        off = np.empty(n, np.int64)
+        length = np.empty(n, np.int64)
+        lib.tfrecord_scan(data.ctypes.data, len(raw), off.ctypes.data,
+                          length.ctypes.data, n)
+    return raw, off[:n], length[:n]

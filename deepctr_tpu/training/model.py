@@ -217,7 +217,7 @@ class CTRModel:
 
     def fit(self, x, y, batch_size=256, epochs=1, verbose=1, initial_epoch=0,
             validation_split=0.0, validation_data=None, shuffle=True,
-            sample_weight=None):
+            sample_weight=None, callbacks=None, profile_dir=None):
         xc = canonicalize_batch(x, self.feature_columns)
         yc = self._canon_y(y)
         n = len(yc)
@@ -248,19 +248,35 @@ class CTRModel:
                     steps_per_epoch,
                 )
             )
+        callbacks = list(callbacks or [])
+        for cb in callbacks:
+            cb.on_train_begin(self)
+
+        profiling = False
         np_rng = np.random.RandomState(self.seed)
+        global_step = 0
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
             loss_sum, weight_sum = 0.0, 0.0
             for xb, yb, wb, n_real in data_lib.iterate_batches(
                 xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng
             ):
+                if profile_dir is not None:
+                    # trace a small window of post-warmup steps
+                    if global_step == 5 and not profiling:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif global_step == 15 and profiling:
+                        jax.block_until_ready(self.state.params)
+                        jax.profiler.stop_trace()
+                        profiling = False
                 self._rng, step_rng = jax.random.split(self._rng)
                 self.state, loss, task_loss = self._train_step(
                     self.state, xb, yb, wb, step_rng
                 )
                 loss_sum += float(loss) * n_real
                 weight_sum += n_real
+                global_step += 1
             logs = {"loss": loss_sum / max(weight_sum, 1.0)}
             if val is not None:
                 val_logs = self.evaluate(val[0], val[1], batch_size=batch_size,
@@ -270,6 +286,16 @@ class CTRModel:
             if verbose:
                 msg = " - ".join("{}: {:.4f}".format(k, v) for k, v in logs.items())
                 print("Epoch {}/{} - {:.1f}s - {}".format(epoch + 1, epochs, time.time() - t0, msg))
+            stop = False
+            for cb in callbacks:
+                if cb.on_epoch_end(self, epoch, logs):
+                    stop = True
+            if stop:
+                break
+        if profiling:
+            jax.profiler.stop_trace()
+        for cb in callbacks:
+            cb.on_train_end(self)
         return self.history
 
     def predict(self, x, batch_size=256, _already_canonical=False):

@@ -1,0 +1,96 @@
+"""Estimator API tests (reference check_estimator, tests/utils.py:416-418):
+train(input_fn) + evaluate(input_fn), pandas and TFRecord inputs, model_dir
+checkpoint/restore."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepctr_tpu import DenseFeat, SparseFeat
+from deepctr_tpu.estimator import (
+    DeepFMEstimator,
+    FixedLenFeature,
+    WDLEstimator,
+    input_fn_pandas,
+    input_fn_tfrecord,
+)
+
+TFRECORD_TRAIN = "/root/reference/examples/criteo_sample.tr.tfrecords"
+
+
+def _pandas_fixture(n=64, n_sparse=3, n_dense=2, seed=0):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        **{"s%d" % i: rng.randint(0, 10, n) for i in range(n_sparse)},
+        **{"d%d" % i: rng.rand(n) for i in range(n_dense)},
+        "label": rng.randint(0, 2, n),
+    })
+    cols = [SparseFeat("s%d" % i, 10, 4) for i in range(n_sparse)]
+    cols += [DenseFeat("d%d" % i, 1) for i in range(n_dense)]
+    features = [fc.name for fc in cols]
+    return df, cols, features
+
+
+def test_estimator_pandas_train_evaluate(tmp_path):
+    df, cols, features = _pandas_fixture()
+    train_fn = input_fn_pandas(df, features, "label", batch_size=16, num_epochs=2,
+                               shuffle=True)
+    eval_fn = input_fn_pandas(df, features, "label", batch_size=32)
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,),
+                          model_dir=str(tmp_path / "m"))
+    est.train(train_fn)
+    result = est.evaluate(eval_fn)
+    assert {"AUC", "LogLoss", "prediction/mean", "label/mean"} <= set(result)
+    assert 0.0 <= result["AUC"] <= 1.0
+
+    # predict yields {'pred','logits'} per example
+    preds = list(est.predict(input_fn_pandas(df, features, batch_size=32)))
+    assert len(preds) == len(df)
+    assert set(preds[0]) == {"pred", "logits"}
+
+    # model_dir restore: a fresh estimator picks up the checkpoint
+    est2 = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,),
+                           model_dir=str(tmp_path / "m"))
+    r2 = est2.evaluate(eval_fn)
+    np.testing.assert_allclose(result["LogLoss"], r2["LogLoss"], rtol=1e-5)
+
+
+def test_estimator_regression():
+    df, cols, features = _pandas_fixture()
+    df["label"] = np.random.RandomState(0).rand(len(df))
+    est = WDLEstimator(cols, cols, dnn_hidden_units=(8,), task="regression")
+    est.train(input_fn_pandas(df, features, "label", batch_size=16))
+    result = est.evaluate(input_fn_pandas(df, features, "label", batch_size=32))
+    assert "MSE" in result and "MAE" in result
+
+
+def test_input_fn_tfrecord_reads_reference_file():
+    sparse = ["C%d" % i for i in range(1, 27)]
+    dense = ["I%d" % i for i in range(1, 14)]
+    desc = {k: FixedLenFeature((1,), "int64") for k in sparse}
+    desc.update({k: FixedLenFeature((1,), "float32") for k in dense})
+    desc["label"] = FixedLenFeature((1,), "float32")
+    fn = input_fn_tfrecord(TFRECORD_TRAIN, desc, "label", batch_size=64,
+                           num_epochs=1, shuffle_factor=0)
+    batches = list(fn())
+    assert len(batches) >= 1
+    xb, yb = batches[0]
+    assert xb["C1"].dtype == np.int64 and xb["I1"].dtype == np.float32
+    assert set(np.unique(yb)) <= {0.0, 1.0}
+
+
+def test_estimator_tfrecord_end_to_end():
+    sparse = ["C%d" % i for i in range(1, 27)]
+    dense = ["I%d" % i for i in range(1, 14)]
+    desc = {k: FixedLenFeature((1,), "int64") for k in sparse}
+    desc.update({k: FixedLenFeature((1,), "float32") for k in dense})
+    desc["label"] = FixedLenFeature((1,), "float32")
+    train_fn = input_fn_tfrecord(TFRECORD_TRAIN, desc, "label", batch_size=64,
+                                 num_epochs=1)
+    cols = [SparseFeat(f, 1000, 4) for f in sparse] + [DenseFeat(f, 1) for f in dense]
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(16,))
+    est.train(train_fn)
+    result = est.evaluate(input_fn_tfrecord(TFRECORD_TRAIN, desc, "label",
+                                            batch_size=128, shuffle_factor=0))
+    assert 0.0 <= result["AUC"] <= 1.0
