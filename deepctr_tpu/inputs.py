@@ -127,10 +127,51 @@ class EmbeddingTables(nn.Module):
             t = jax.lax.stop_gradient(t)
         return t
 
+    def _rows(self, feat, ids):
+        """Embedding rows for one feature.
+
+        Fast path: when the trainer supplies a 'gathered' collection (the
+        sparse-update engine, training/sparse_embedding.py), rows come from
+        there — gathers were hoisted out of the loss so table gradients stay
+        row-sparse. In planning mode ('gather_plan' mutable) the lookup is
+        recorded so the trainer can learn (module path, feature) -> table.
+        Default: plain jnp.take (XLA dynamic-gather).
+        """
+        key = feat.name
+        if self.is_mutable_collection("gather_plan"):
+            kind = 1 if isinstance(feat, VarLenSparseFeat) else 0
+            self.sow(
+                "gather_plan", key + "|" + feat.embedding_name,
+                jnp.asarray(kind, jnp.int32),
+                init_fn=lambda: jnp.asarray(kind, jnp.int32),
+                reduce_fn=lambda a, b: b,
+            )
+        if self.has_variable("gathered", key):
+            rows = self.get_variable("gathered", key)
+            if not feat.trainable:
+                rows = jax.lax.stop_gradient(rows)
+            if self.l2_reg:
+                # lazy (touched-rows) regularization replaces full-table l2
+                # in sparse-update mode
+                _l2_reg(self, self.l2_reg, rows)
+            return rows
+        return jnp.take(self._table(feat), ids, axis=0, mode="clip")
+
     def _reg_all(self):
         # Full-table l2, matching Keras embeddings_regularizer (inputs.py:22).
-        if self.l2_reg:
-            _l2_reg(self, self.l2_reg, *[self.tables[n] for n in self._plan])
+        # Tables served from the 'gathered' collection (sparse-update mode)
+        # are skipped — lazy per-row reg happens in _rows instead.
+        if not self.l2_reg:
+            return
+        sparse_cols, varlen_cols, _ = split_columns(self.feature_columns)
+        gathered_tables = {
+            fc.embedding_name
+            for fc in chain(sparse_cols, varlen_cols)
+            if self.has_variable("gathered", fc.name)
+        }
+        dense_reg = [self.tables[n] for n in self._plan if n not in gathered_tables]
+        if dense_reg:
+            _l2_reg(self, self.l2_reg, *dense_reg)
 
     def lookup(self, features, sparse_cols, return_feat_list=(), to_list=False):
         """Grouped sparse lookups (reference embedding_lookup, inputs.py:101-117).
@@ -141,8 +182,8 @@ class EmbeddingTables(nn.Module):
         for fc in sparse_cols:
             if len(return_feat_list) == 0 or fc.name in return_feat_list:
                 ids = features[fc.name].astype(jnp.int32).reshape(-1)
-                # mode="clip": out-of-vocab ids clamp instead of NaN-filling
-                vec = jnp.take(self._table(fc), ids, axis=0, mode="clip")[:, None, :]
+                # mode="clip" in _rows: out-of-vocab ids clamp, never NaN
+                vec = self._rows(fc, ids)[:, None, :]
                 group[fc.group_name].append(vec)
         if to_list:
             return list(chain.from_iterable(group.values()))
@@ -154,7 +195,7 @@ class EmbeddingTables(nn.Module):
         for fc in varlen_cols:
             if len(return_feat_list) == 0 or fc.name in return_feat_list:
                 ids = features[fc.name].astype(jnp.int32)
-                out[fc.name] = jnp.take(self._table(fc), ids, axis=0, mode="clip")
+                out[fc.name] = self._rows(fc, ids)
         if to_list:
             return list(out.values())
         return out

@@ -35,6 +35,7 @@ class TrainState:
     opt_state: Any
     model_state: Any  # non-param collections (e.g. batch_stats)
     step: jnp.ndarray
+    embed_state: Any = None  # sparse-update rowwise-adagrad accumulators
 
 
 def _sum_losses_collection(mutated):
@@ -78,6 +79,9 @@ class CTRModel:
         self.loss_weights: Optional[Sequence[float]] = None
         self.metrics: List = []
         self.mesh = None
+        self.sparse_embedding_updates = False
+        self.embedding_lr = 0.01
+        self._gather_plan = None
         self.history = History()
         self._train_step = None
         self._predict_step = None
@@ -89,7 +93,11 @@ class CTRModel:
     # compile / build
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
-                mesh=None):
+                mesh=None, sparse_embedding_updates=False, embedding_lr=0.01):
+        """``sparse_embedding_updates=True`` enables the sparse embedding
+        engine (training/sparse_embedding.py): embedding-table gradients stay
+        row-sparse and tables update in-step with row-wise Adagrad at
+        ``embedding_lr``; ``optimizer`` then only drives the dense params."""
         self.optimizer = opt_lib.resolve_optimizer(optimizer)
         if loss is None:
             loss = "binary_crossentropy" if self.task == "binary" else "mse"
@@ -100,6 +108,13 @@ class CTRModel:
         self.loss_weights = loss_weights
         self.metrics = list(metrics or [])
         self.mesh = mesh
+        if sparse_embedding_updates and mesh is not None:
+            raise ValueError(
+                "sparse_embedding_updates does not compose with mesh sharding yet"
+            )
+        self.sparse_embedding_updates = sparse_embedding_updates
+        self.embedding_lr = embedding_lr
+        self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
         self._predict_step = None
         return self
@@ -128,10 +143,23 @@ class CTRModel:
 
             params = shard_params(params, self.mesh)
             model_state = replicate(model_state, self.mesh)
-        opt_state = self.optimizer.init(params)
+
+        embed_state = None
+        if self.sparse_embedding_updates:
+            from . import sparse_embedding as se
+
+            sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
+            self._gather_plan = se.discover_plan(
+                self.module, {"params": params, **model_state}, sample
+            )
+            dense_params, tables = se.split_tables(params, self._gather_plan)
+            opt_state = self.optimizer.init(dense_params)
+            embed_state = se.init_embed_state(tables)
+        else:
+            opt_state = self.optimizer.init(params)
         self.state = TrainState(
             params=params, opt_state=opt_state, model_state=model_state,
-            step=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32), embed_state=embed_state,
         )
 
     # ------------------------------------------------------------------
@@ -150,6 +178,8 @@ class CTRModel:
         return total, per_task
 
     def _build_train_step(self):
+        if self.sparse_embedding_updates:
+            return self._build_sparse_train_step()
         module = self.module
         optimizer = self.optimizer
         mesh = self.mesh
@@ -184,6 +214,61 @@ class CTRModel:
             new_state = TrainState(
                 params=new_params, opt_state=new_opt_state,
                 model_state=new_model_state, step=state.step + 1,
+            )
+            return new_state, loss, task_loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_sparse_train_step(self):
+        """Train step with the sparse embedding engine: gathers hoisted out
+        of the loss, row-sparse table grads, in-step rowwise-adagrad scatter
+        updates (training/sparse_embedding.py)."""
+        from . import sparse_embedding as se
+
+        module = self.module
+        optimizer = self.optimizer
+        plan = self._gather_plan
+        embedding_lr = self.embedding_lr
+
+        def train_step(state: TrainState, xb, yb, wb, rng):
+            dense_params, tables = se.split_tables(state.params, plan)
+            rows = se.gather_rows(tables, xb, plan)
+
+            def loss_fn(dense_p, rows_):
+                params = se.merge_tables(dense_p, tables)
+                variables = {"params": params, "gathered": rows_,
+                             **state.model_state}
+                out, mutated = module.apply(
+                    variables, xb, training=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats", "losses"],
+                )
+                task_loss, _ = self._loss_from_outputs(out, yb, wb)
+                extra = _sum_losses_collection(mutated)
+                return task_loss + extra, (mutated, task_loss)
+
+            (loss, (mutated, task_loss)), (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(dense_params, rows)
+
+            updates, new_opt_state = optimizer.update(
+                g_dense, state.opt_state, dense_params
+            )
+            new_dense = optax.apply_updates(dense_params, updates)
+            new_tables, new_embed = se.apply_sparse_updates(
+                tables, state.embed_state, g_rows, xb, plan,
+                learning_rate=embedding_lr,
+            )
+            new_params = se.merge_tables(new_dense, new_tables)
+
+            new_model_state = {k: v for k, v in mutated.items() if k != "losses"}
+            for k, v in state.model_state.items():
+                if k not in new_model_state:
+                    new_model_state[k] = v
+            new_state = TrainState(
+                params=new_params, opt_state=new_opt_state,
+                model_state=new_model_state, step=state.step + 1,
+                embed_state=new_embed,
             )
             return new_state, loss, task_loss
 

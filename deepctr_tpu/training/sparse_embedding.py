@@ -1,0 +1,171 @@
+"""Sparse embedding-update engine (the TPU-native "embedding engine v2").
+
+Why: CTR models are HBM-bound on their embedding tables. With plain autodiff
+the cotangent of a (V, E) table is a DENSE array (XLA scatter-adds row grads
+into zeros) and the optimizer then rewrites the full table + state — O(V*E)
+HBM traffic per step even though only O(batch) rows were touched.
+
+This engine restructures the train step so dense table gradients never
+exist:
+
+1. **Plan discovery** — one instrumented forward pass with the
+   'gather_plan' collection mutable records every (module path, feature,
+   table, kind) lookup the model performs (inputs.py `_rows`).
+2. **Hoisted gathers** — the train step gathers rows for every planned
+   lookup OUTSIDE the loss; the module consumes them via the 'gathered'
+   collection. `jax.grad` is taken w.r.t. (dense params, gathered rows), so
+   table gradients arrive as row-sparse (ids, row_grads) pairs.
+3. **In-step sparse optimizer** — per table, duplicates are resolved
+   exactly with a sort + segment-sum, then a row-wise Adagrad scatter
+   update touches only the gathered rows (update math identical to
+   optimizers.rowwise_adagrad on the equivalent dense gradient).
+
+Full-table l2 becomes lazy (touched-rows) l2 — the standard large-vocab
+approximation. Tables accessed outside the lookup funnel (e.g. DSIN's
+direct session gathers) keep working — they simply stay on the dense path.
+Opt in with ``model.compile(..., sparse_embedding_updates=True)``.
+
+Performance note (measured, TPU v5e): this path is the right asymptotic
+design (per-step traffic O(batch-rows) instead of O(vocab)), and it is the
+only feasible design when tables no longer fit dense per-step updates
+(vocab >= 10M rows). For small embedding dims (E=16) on vocabs that DO fit,
+XLA currently fuses the hoisted row gathers/scatter-updates into
+latency-bound per-row loops, making it slower than the dense path — keep
+the default dense path there. A Pallas double-buffered scatter kernel that
+bypasses the XLA fusion is the planned fix.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+class PlanEntry(NamedTuple):
+    module_path: Tuple[str, ...]  # scope of the owning EmbeddingTables
+    feature: str                  # batch key supplying the ids
+    embedding_name: str           # table param is "emb_" + embedding_name
+    kind: int                     # 0 = sparse (B,), 1 = varlen (B, T)
+
+    @property
+    def table_path(self) -> Tuple[str, ...]:
+        return self.module_path + ("emb_" + self.embedding_name,)
+
+    @property
+    def rows_path(self) -> Tuple[str, ...]:
+        return self.module_path + (self.feature,)
+
+
+def discover_plan(module, variables, sample_batch) -> List[PlanEntry]:
+    """Run one instrumented forward pass and return the gather plan."""
+    _, mutated = module.apply(
+        variables, sample_batch, training=False,
+        mutable=["gather_plan", "losses", "batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    plan: List[PlanEntry] = []
+    flat = flatten_dict(mutated.get("gather_plan", {}))
+    for path, kind in flat.items():
+        *module_path, key = path
+        feature, embedding_name = key.rsplit("|", 1)
+        plan.append(PlanEntry(tuple(module_path), feature, embedding_name,
+                              int(np.asarray(kind))))
+    plan.sort()
+    return plan
+
+
+def split_tables(params, plan):
+    """(dense_params, tables) — tables keyed by their flat param path."""
+    flat = flatten_dict(params)
+    tables = {}
+    for entry in plan:
+        p = entry.table_path
+        if p in flat:
+            tables[p] = flat.pop(p)
+        elif p not in tables:
+            raise ValueError("gather plan references missing param %s" % (p,))
+    return unflatten_dict(flat), tables
+
+
+def merge_tables(dense_params, tables):
+    flat = dict(flatten_dict(dense_params))
+    flat.update(tables)
+    return unflatten_dict(flat)
+
+
+def gather_rows(tables, batch, plan):
+    """Hoisted gathers: {module_path + (feature,): rows} as a nested dict."""
+    rows_flat = {}
+    for entry in plan:
+        table = tables[entry.table_path]
+        ids = batch[entry.feature].astype(jnp.int32)
+        if entry.kind == 0:
+            rows = jnp.take(table, ids.reshape(-1), axis=0, mode="clip")
+        else:
+            rows = jnp.take(table, ids, axis=0, mode="clip")
+        rows_flat[entry.rows_path] = rows
+    return unflatten_dict(rows_flat)
+
+
+def init_embed_state(tables, initial_accumulator_value=0.1):
+    """Row-wise Adagrad accumulators, one scalar per table row."""
+    return {
+        path: jnp.full((t.shape[0], 1), initial_accumulator_value, jnp.float32)
+        for path, t in tables.items()
+    }
+
+
+def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps):
+    """Exact row-wise Adagrad on a row-sparse gradient.
+
+    ids (N,) may contain duplicates; grads (N, E). Sort + segment-sum makes
+    the per-row total gradient exact, then only those rows are touched.
+    """
+    V = table.shape[0]
+    N = ids.shape[0]
+    order = jnp.argsort(ids)
+    s_ids = ids[order]
+    s_g = grads[order]
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (s_ids[1:] != s_ids[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(new_seg) - 1  # (N,) segment index per sorted element
+    G = jax.ops.segment_sum(s_g, seg, num_segments=N)  # row-total grads
+    # representative id per segment; unused slots parked out of range
+    uids = jnp.full((N,), V, jnp.int32).at[seg].set(s_ids, mode="drop")
+    valid = uids < V
+    G = jnp.where(valid[:, None], G, 0.0)
+    safe_uids = jnp.where(valid, uids, 0)
+    a_old = acc[safe_uids, 0]
+    a_new = a_old + jnp.mean(G * G, axis=1)
+    update = -lr * G * jax.lax.rsqrt(a_new + eps)[:, None]
+    table = table.at[uids].add(update.astype(table.dtype), mode="drop")
+    acc = acc.at[uids, 0].set(a_new, mode="drop")
+    return table, acc
+
+
+def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
+                         learning_rate=0.01, eps=1e-10):
+    """Scatter row-sparse updates into every planned table."""
+    grads_flat = flatten_dict(rows_grads)
+    per_table: Dict[Tuple[str, ...], list] = defaultdict(list)
+    for entry in plan:
+        g = grads_flat[entry.rows_path]
+        ids = batch[entry.feature].astype(jnp.int32)
+        E = g.shape[-1]
+        per_table[entry.table_path].append(
+            (ids.reshape(-1), g.reshape(-1, E))
+        )
+    new_tables = dict(tables)
+    new_state = dict(embed_state)
+    for path, pairs in per_table.items():
+        ids_all = jnp.concatenate([p[0] for p in pairs])
+        g_all = jnp.concatenate([p[1] for p in pairs])
+        new_tables[path], new_state[path] = _rowwise_adagrad_scatter(
+            tables[path], embed_state[path], ids_all, g_all, learning_rate, eps
+        )
+    return new_tables, new_state

@@ -1,0 +1,114 @@
+"""Sparse embedding-update engine tests (training/sparse_embedding.py)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepctr_tpu.models import DeepFM, WDL
+from deepctr_tpu.training import sparse_embedding as se
+from deepctr_tpu.features import canonicalize_batch
+
+from tests.utils import SAMPLE_SIZE, get_test_data
+
+
+def test_scatter_update_matches_dense_rowwise_adagrad():
+    """_rowwise_adagrad_scatter on (ids, row grads) with duplicates must be
+    bit-equivalent to rowwise adagrad on the scattered dense gradient."""
+    rng = np.random.RandomState(0)
+    V, E, N = 20, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    acc = jnp.full((V, 1), 0.1, jnp.float32)
+    ids = jnp.asarray(rng.randint(0, V, N).astype(np.int32))
+    grads = jnp.asarray(rng.standard_normal((N, E)).astype(np.float32))
+    lr, eps = 0.05, 1e-10
+
+    new_table, new_acc = se._rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps)
+
+    dense_g = jnp.zeros_like(table).at[ids].add(grads)
+    touched = np.zeros(V, bool)
+    touched[np.asarray(ids)] = True
+    a_dense = np.asarray(acc[:, 0]) + np.asarray(jnp.mean(dense_g * dense_g, axis=1))
+    upd = -lr * np.asarray(dense_g) / np.sqrt(a_dense + eps)[:, None]
+    want_table = np.asarray(table) + np.where(touched[:, None], upd, 0.0)
+    want_acc = np.where(touched, a_dense, np.asarray(acc[:, 0]))
+
+    np.testing.assert_allclose(np.asarray(new_table), want_table, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_acc)[:, 0], want_acc, rtol=1e-5)
+
+
+def _build(model_cls, sparse_updates, seed_data=2018):
+    x, y, cols = get_test_data(SAMPLE_SIZE, sparse_feature_num=3,
+                               dense_feature_num=1, seed=seed_data)
+    model = model_cls(cols, cols, dnn_hidden_units=(4,))
+    model.compile("adam", "binary_crossentropy",
+                  sparse_embedding_updates=sparse_updates)
+    return model, x, y
+
+
+def test_plan_discovery_covers_dnn_and_linear_tables():
+    model, x, y = _build(DeepFM, True)
+    xc = canonicalize_batch(x, model.feature_columns)
+    model._ensure_built(xc)
+    plan = model._gather_plan
+    assert len(plan) > 0
+    paths = {e.module_path[0] for e in plan}
+    assert "embeddings" in paths  # dnn funnel
+    assert "linear" in paths      # wide tower funnel
+    # every planned table exists in params
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(model.state.params)
+    for e in plan:
+        assert e.table_path in flat
+
+
+def test_sparse_forward_equals_dense_forward():
+    """With identical params, the gathered-rows substitution must not change
+    the forward pass at all."""
+    model, x, y = _build(DeepFM, True)
+    xc = canonicalize_batch(x, model.feature_columns)
+    model._ensure_built(xc)
+    xb = {k: jnp.asarray(v) for k, v in xc.items()}
+
+    dense_out = model.module.apply(
+        {"params": model.state.params, **model.state.model_state},
+        xb, training=False,
+    )
+    dense_params, tables = se.split_tables(model.state.params, model._gather_plan)
+    rows = se.gather_rows(tables, xb, model._gather_plan)
+    sparse_out = model.module.apply(
+        {"params": se.merge_tables(dense_params, tables), "gathered": rows,
+         **model.state.model_state},
+        xb, training=False,
+    )
+    np.testing.assert_allclose(np.asarray(dense_out), np.asarray(sparse_out),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("model_cls", [WDL, DeepFM])
+def test_sparse_mode_trains(model_cls):
+    model, x, y = _build(model_cls, True)
+    hist = model.fit(x, y, batch_size=100, epochs=8, verbose=0)
+    losses = hist.history["loss"]
+    assert losses[-1] < losses[0]
+    preds = model.predict(x, batch_size=100)
+    assert np.all(np.isfinite(preds))
+    # embed accumulators moved away from their init on touched rows
+    assert any(
+        float(jnp.max(a)) > 0.1 for a in model.state.embed_state.values()
+    )
+
+
+def test_sparse_mode_save_load_roundtrip(tmp_path):
+    model, x, y = _build(DeepFM, True)
+    model.fit(x, y, batch_size=100, epochs=1, verbose=0)
+    before = model.predict(x, batch_size=100)
+    p = str(tmp_path / "w.bin")
+    model.save_weights(p)
+    model2, x2, _ = _build(DeepFM, True)
+    model2.load_weights(p)
+    np.testing.assert_allclose(before, model2.predict(x, batch_size=100),
+                               rtol=1e-4, atol=1e-5)
