@@ -1,0 +1,89 @@
+"""Mesh / sharding tests on 8 virtual CPU devices (conftest sets them up)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepctr_tpu.parallel.mesh import make_mesh
+from deepctr_tpu.parallel.sharded_lookup import (
+    place_for_sharded_lookup,
+    sharded_lookup,
+)
+from deepctr_tpu.parallel.sharding import param_partition_spec, shard_batch
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh((4, 2), ("data", "model"), devices[:8])
+
+
+def test_sharded_lookup_matches_dense(mesh):
+    rng = np.random.RandomState(0)
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (B,)).astype(np.int32))
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = sharded_lookup(t_s, i_s, mesh)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_sharded_lookup_2d_ids(mesh):
+    rng = np.random.RandomState(1)
+    V, E = 64, 8
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (8, 5)).astype(np.int32))
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = sharded_lookup(t_s, i_s, mesh)
+    assert got.shape == (8, 5, E)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_sharded_lookup_rejects_indivisible_vocab(mesh):
+    table = jnp.zeros((63, 8))
+    ids = jnp.zeros((8,), jnp.int32)
+    with pytest.raises(ValueError):
+        sharded_lookup(table, ids, mesh)
+
+
+def test_param_partition_spec_rules(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    class K:  # fake DictKey
+        def __init__(self, key):
+            self.key = key
+
+    # embedding table with divisible vocab -> row sharded
+    spec = param_partition_spec((K("embeddings"), K("emb_item")),
+                                jnp.zeros((64, 8)), mesh)
+    assert spec == P("model", None)
+    # indivisible vocab -> replicated
+    spec = param_partition_spec((K("embeddings"), K("emb_item")),
+                                jnp.zeros((63, 8)), mesh)
+    assert spec == P()
+    # dense kernel -> replicated
+    spec = param_partition_spec((K("dnn"), K("kernel0")), jnp.zeros((64, 8)), mesh)
+    assert spec == P()
+
+
+def test_grad_flows_through_sharded_lookup(mesh):
+    rng = np.random.RandomState(2)
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (B,)).astype(np.int32))
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_lookup(t, i_s, mesh) ** 2)
+
+    def loss_dense(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+    g_s = jax.grad(loss_sharded)(t_s)
+    g_d = jax.grad(loss_dense)(table)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-5)

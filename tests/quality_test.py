@@ -72,3 +72,105 @@ def test_auc_parity_with_reference(name):
     assert auc >= golden - AUC_TOLERANCE, (
         "%s: our AUC %.4f vs reference golden %.4f" % (name, auc, golden)
     )
+
+
+def test_din_auc_parity_with_reference():
+    """DIN on a learnable synthetic membership task (click iff candidate item
+    appears in the behavior history) — golden from the reference DIN run with
+    the identical generator (tests/goldens.json 'sequence')."""
+    from deepctr_tpu import VarLenSparseFeat
+
+    golden = GOLDENS["sequence"]["DIN"]
+    rng = np.random.RandomState(0)
+    N = 256
+    feature_columns = [
+        SparseFeat("user", 10, embedding_dim=8),
+        SparseFeat("gender", 2, embedding_dim=4),
+        SparseFeat("item_id", 20, embedding_dim=8),
+        SparseFeat("cate_id", 10, embedding_dim=4),
+        DenseFeat("pay_score", 1),
+    ]
+    feature_columns += [
+        VarLenSparseFeat(SparseFeat("hist_item_id", 20, embedding_dim=8,
+                                    embedding_name="item_id"),
+                         maxlen=6, length_name="seq_length"),
+        VarLenSparseFeat(SparseFeat("hist_cate_id", 10, embedding_dim=4,
+                                    embedding_name="cate_id"),
+                         maxlen=6, length_name="seq_length"),
+    ]
+    x = {
+        "user": rng.randint(0, 10, N), "gender": rng.randint(0, 2, N),
+        "item_id": rng.randint(1, 20, N), "cate_id": rng.randint(1, 10, N),
+        "pay_score": rng.rand(N),
+        "hist_item_id": rng.randint(1, 20, (N, 6)),
+        "hist_cate_id": rng.randint(1, 10, (N, 6)),
+        "seq_length": rng.randint(1, 7, N),
+    }
+    y = np.array([
+        1 if x["item_id"][i] in x["hist_item_id"][i][: x["seq_length"][i]] else 0
+        for i in range(N)
+    ])
+    model = zoo.DIN(feature_columns, ["item_id", "cate_id"],
+                    dnn_hidden_units=(32, 16), att_activation="sigmoid")
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=golden["batch_size"], epochs=golden["epochs"],
+              verbose=0)
+    p = model.predict(x, batch_size=64)
+    auc = roc_auc_score(y, p)
+    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
+        "DIN: our AUC %.4f vs reference golden %.4f" % (auc, golden["train_auc"])
+    )
+
+
+def test_mmoe_auc_parity_with_reference():
+    """MMOE on census-income; reference memorizes both tasks to AUC 1.0
+    (tests/goldens.json 'multitask') — so must we."""
+    golden = GOLDENS["multitask"]["MMOE"]
+    column_names = [
+        'age', 'class_worker', 'det_ind_code', 'det_occ_code', 'education',
+        'wage_per_hour', 'hs_college', 'marital_stat', 'major_ind_code',
+        'major_occ_code', 'race', 'hisp_origin', 'sex', 'union_member',
+        'unemp_reason', 'full_or_part_emp', 'capital_gains', 'capital_losses',
+        'stock_dividends', 'tax_filer_stat', 'region_prev_res',
+        'state_prev_res', 'det_hh_fam_stat', 'det_hh_summ', 'instance_weight',
+        'mig_chg_msa', 'mig_chg_reg', 'mig_move_reg', 'mig_same',
+        'mig_prev_sunbelt', 'num_emp', 'fam_under_18', 'country_father',
+        'country_mother', 'country_self', 'citizenship', 'own_or_self',
+        'vet_question', 'vet_benefits', 'weeks_worked', 'year', 'income_50k']
+    data = pd.read_csv('/root/reference/examples/census-income.sample',
+                       header=None, names=column_names)
+    data['label_income'] = data['income_50k'].map({' - 50000.': 0, ' 50000+.': 1})
+    data['label_marital'] = data['marital_stat'].apply(
+        lambda v: 1 if v == ' Never married' else 0)
+    data.drop(labels=['income_50k', 'marital_stat'], axis=1, inplace=True)
+    sparse_features = [
+        'class_worker', 'det_ind_code', 'det_occ_code', 'education',
+        'hs_college', 'major_ind_code', 'major_occ_code', 'race',
+        'hisp_origin', 'sex', 'union_member', 'unemp_reason',
+        'full_or_part_emp', 'tax_filer_stat', 'region_prev_res',
+        'state_prev_res', 'det_hh_fam_stat', 'det_hh_summ', 'mig_chg_msa',
+        'mig_chg_reg', 'mig_move_reg', 'mig_same', 'mig_prev_sunbelt',
+        'fam_under_18', 'country_father', 'country_mother', 'country_self',
+        'citizenship', 'vet_question']
+    dense_features = [c for c in data.columns
+                      if c not in sparse_features + ['label_income', 'label_marital']]
+    data[sparse_features] = data[sparse_features].fillna('-1')
+    data[dense_features] = data[dense_features].fillna(0)
+    data[dense_features] = MinMaxScaler().fit_transform(data[dense_features])
+    for f in sparse_features:
+        data[f], _ = pd.factorize(data[f])
+    cols = [SparseFeat(f, int(data[f].max() + 1), 4) for f in sparse_features]
+    cols += [DenseFeat(f, 1) for f in dense_features]
+    x = {n: data[n].values for n in get_feature_names(cols)}
+    y = [data['label_income'].values, data['label_marital'].values]
+    m = zoo.MMOE(cols, tower_dnn_hidden_units=[],
+                 task_types=['binary', 'binary'],
+                 task_names=['label_income', 'label_marital'])
+    m.compile("adam", loss=["binary_crossentropy", "binary_crossentropy"])
+    m.fit(x, y, batch_size=golden["batch_size"], epochs=golden["epochs"],
+          verbose=0)
+    p = m.predict(x, batch_size=256)
+    auc_income = roc_auc_score(y[0], p[:, 0])
+    auc_marital = roc_auc_score(y[1], p[:, 1])
+    assert auc_income >= golden["income_train_auc"] - AUC_TOLERANCE
+    assert auc_marital >= golden["marital_train_auc"] - AUC_TOLERANCE
