@@ -59,6 +59,61 @@ def load_weights(model, path):
     return model
 
 
+# --------------------- full train-state IO (orbax) -------------------------
+
+
+def save_train_state(model, ckpt_dir):
+    """Checkpoint the FULL TrainState (params + optimizer state + model
+    state + step + sparse-embedding accumulators) with orbax — true
+    mid-training resume, unlike weight files (SURVEY §5 build note)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    _ensure_built_for_io(model)
+    path = os.path.abspath(ckpt_dir)
+    ckptr = ocp.StandardCheckpointer()
+    state = model.state
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "model_state": state.model_state,
+        "step": state.step,
+    }
+    if state.embed_state is not None:
+        payload["embed_state"] = state.embed_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(model, ckpt_dir):
+    """Restore a TrainState saved by save_train_state into ``model``."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    _ensure_built_for_io(model)
+    path = os.path.abspath(ckpt_dir)
+    ckptr = ocp.StandardCheckpointer()
+    state = model.state
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "model_state": state.model_state,
+        "step": state.step,
+    }
+    if state.embed_state is not None:
+        template["embed_state"] = state.embed_state
+    restored = ckptr.restore(path, template)
+    model.state = state.replace(
+        params=restored["params"], opt_state=restored["opt_state"],
+        model_state=restored["model_state"], step=restored["step"],
+        embed_state=restored.get("embed_state", state.embed_state),
+    )
+    model._predict_step = None
+    return model
+
+
 # --------------------------- whole-model IO --------------------------------
 
 
