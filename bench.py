@@ -44,7 +44,10 @@ def main():
     w = np.ones(BATCH, np.float32)
 
     model = DeepFM(cols, cols, dnn_hidden_units=(256, 128, 64))
-    model.compile(embedding_split_optimizer(), "binary_crossentropy")
+    # bf16 table storage halves embedding HBM traffic (~8% step speedup,
+    # quality-neutral on the sample datasets — tests/bf16_embedding_test.py)
+    model.compile(embedding_split_optimizer(), "binary_crossentropy",
+                  embedding_dtype="bfloat16")
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
     train_step = model._build_train_step()

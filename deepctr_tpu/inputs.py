@@ -155,7 +155,11 @@ class EmbeddingTables(nn.Module):
                 # in sparse-update mode
                 _l2_reg(self, self.l2_reg, rows)
             return rows
-        return jnp.take(self._table(feat), ids, axis=0, mode="clip")
+        rows = jnp.take(self._table(feat), ids, axis=0, mode="clip")
+        if rows.dtype != jnp.float32:
+            # low-precision table storage (e.g. bf16): compute in f32
+            rows = rows.astype(jnp.float32)
+        return rows
 
     def _reg_all(self):
         # Full-table l2, matching Keras embeddings_regularizer (inputs.py:22).

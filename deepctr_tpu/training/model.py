@@ -81,6 +81,7 @@ class CTRModel:
         self.mesh = None
         self.sparse_embedding_updates = False
         self.embedding_lr = 0.01
+        self.embedding_dtype = None
         self._gather_plan = None
         self.history = History()
         self._train_step = None
@@ -93,11 +94,17 @@ class CTRModel:
     # compile / build
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
-                mesh=None, sparse_embedding_updates=False, embedding_lr=0.01):
+                mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
+                embedding_dtype=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
-        ``embedding_lr``; ``optimizer`` then only drives the dense params."""
+        ``embedding_lr``; ``optimizer`` then only drives the dense params.
+
+        ``embedding_dtype="bfloat16"`` stores embedding tables (params named
+        ``emb_*``) in bf16 — halves their HBM traffic (the dominant cost of
+        CTR training); activations upcast to f32 at first use. Pair with
+        ``embedding_split_optimizer()`` so optimizer accumulators stay f32."""
         self.optimizer = opt_lib.resolve_optimizer(optimizer)
         if loss is None:
             loss = "binary_crossentropy" if self.task == "binary" else "mse"
@@ -114,6 +121,7 @@ class CTRModel:
             )
         self.sparse_embedding_updates = sparse_embedding_updates
         self.embedding_lr = embedding_lr
+        self.embedding_dtype = embedding_dtype
         self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
         self._predict_step = None
@@ -136,6 +144,16 @@ class CTRModel:
         if self.optimizer is None:
             self.compile()
         params, model_state = self._init_variables(x_canonical)
+        if self.embedding_dtype is not None:
+            dtype = jnp.dtype(self.embedding_dtype)
+
+            def cast_tables(path, leaf):
+                is_table = any(
+                    str(getattr(k, "key", k)).startswith("emb_") for k in path
+                )
+                return leaf.astype(dtype) if is_table else leaf
+
+            params = jax.tree_util.tree_map_with_path(cast_tables, params)
         if self.mesh is not None:
             # Shard params BEFORE optimizer.init so optimizer slots (zeros_like)
             # inherit the same shardings.
