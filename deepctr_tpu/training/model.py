@@ -360,7 +360,9 @@ class CTRModel:
         global_step = 0
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
-            loss_sum, weight_sum = 0.0, 0.0
+            # keep per-step losses on device: float(loss) would force a
+            # host sync every step and serialize the async dispatch pipeline
+            step_losses, step_weights = [], []
             for xb, yb, wb, n_real in data_lib.iterate_batches(
                 xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng
             ):
@@ -377,9 +379,13 @@ class CTRModel:
                 self.state, loss, task_loss = self._train_step(
                     self.state, xb, yb, wb, step_rng
                 )
-                loss_sum += float(loss) * n_real
-                weight_sum += n_real
+                step_losses.append(loss)
+                step_weights.append(n_real)
                 global_step += 1
+            weight_sum = float(sum(step_weights))
+            loss_sum = sum(
+                float(l) * n for l, n in zip(step_losses, step_weights)
+            )
             logs = {"loss": loss_sum / max(weight_sum, 1.0)}
             if val is not None:
                 val_logs = self.evaluate(val[0], val[1], batch_size=batch_size,
@@ -437,6 +443,26 @@ class CTRModel:
             else:
                 logs[name] = float(fn(yc[:, 0], preds[:, 0]))
         return logs
+
+    def export_inference_fn(self):
+        """A pure jitted ``fn(batch_dict) -> predictions`` closure over the
+        current weights — the serving artifact (the reference's equivalent is
+        the Estimator PredictOutput export, estimator/utils.py:91-117).
+        The returned fn expects canonical batches (use
+        ``features.canonicalize_batch``) and is safe to hand to a server
+        loop; weights are baked in at export time."""
+        if self.state is None:
+            raise ValueError("Model has no variables yet; call fit/predict first.")
+        module = self.module
+        params = jax.tree.map(lambda x: x, self.state.params)
+        model_state = jax.tree.map(lambda x: x, self.state.model_state)
+
+        @jax.jit
+        def serve(batch):
+            return module.apply({"params": params, **model_state}, batch,
+                                training=False)
+
+        return serve
 
     # ------------------------------------------------------------------
     # persistence
