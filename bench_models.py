@@ -1,0 +1,118 @@
+"""Training throughput across the model zoo on one chip.
+
+Criteo-shaped inputs (26x100k-vocab x16 sparse + 13 dense) for the tabular
+models; an amazon-style behavior fixture (50-step history) for DIN/DIEN/BST.
+Prints one JSON line per model.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _tabular_batch(batch, rng):
+    from deepctr_tpu import DenseFeat, SparseFeat
+
+    cols = [SparseFeat("C%d" % i, 100_000, 16) for i in range(26)]
+    cols += [DenseFeat("I%d" % i, 1) for i in range(13)]
+    x = {}
+    for fc in cols:
+        if isinstance(fc, SparseFeat):
+            x[fc.name] = rng.randint(0, fc.vocabulary_size, (batch, 1)).astype(np.int32)
+        else:
+            x[fc.name] = rng.rand(batch, 1).astype(np.float32)
+    return cols, x
+
+
+def _sequence_batch(batch, rng, maxlen=50):
+    from deepctr_tpu import DenseFeat, SparseFeat, VarLenSparseFeat
+
+    cols = [
+        SparseFeat("user", 100_000, 32),
+        SparseFeat("item", 200_000, 32),
+        SparseFeat("cate", 1_000, 32),
+        DenseFeat("score", 1),
+        VarLenSparseFeat(SparseFeat("hist_item", 200_000, 32,
+                                    embedding_name="item"),
+                         maxlen=maxlen, length_name="seq_length"),
+        VarLenSparseFeat(SparseFeat("hist_cate", 1_000, 32,
+                                    embedding_name="cate"),
+                         maxlen=maxlen, length_name="seq_length"),
+    ]
+    x = {
+        "user": rng.randint(0, 100_000, (batch, 1)).astype(np.int32),
+        "item": rng.randint(1, 200_000, (batch, 1)).astype(np.int32),
+        "cate": rng.randint(1, 1_000, (batch, 1)).astype(np.int32),
+        "score": rng.rand(batch, 1).astype(np.float32),
+        "hist_item": rng.randint(1, 200_000, (batch, maxlen)).astype(np.int32),
+        "hist_cate": rng.randint(1, 1_000, (batch, maxlen)).astype(np.int32),
+        "seq_length": rng.randint(1, maxlen + 1, (batch, 1)).astype(np.int32),
+    }
+    return cols, x
+
+
+def _measure(model, cols, x, batch, steps=30):
+    import jax
+    import jax.numpy as jnp
+
+    from deepctr_tpu.features import canonicalize_batch
+
+    rng = np.random.RandomState(1)
+    y = rng.randint(0, 2, batch).astype(np.float32)[:, None]
+    w = np.ones(batch, np.float32)
+    xc = canonicalize_batch(x, model.feature_columns)
+    model._ensure_built(xc)
+    train_step = model._build_train_step()
+    xb = {k: jnp.asarray(v) for k, v in xc.items()}
+    yb, wb = jnp.asarray(y), jnp.asarray(w)
+    key = jax.random.PRNGKey(0)
+    state = model.state
+    state, loss, _ = train_step(state, xb, yb, wb, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = train_step(state, xb, yb, wb, key)
+    jax.block_until_ready(loss)
+    return batch * steps / (time.perf_counter() - t0)
+
+
+def main(selected=None):
+    from deepctr_tpu import models as zoo
+    from deepctr_tpu.training.optimizers import embedding_split_optimizer
+
+    rng = np.random.RandomState(0)
+    B_TAB, B_SEQ = 32768, 4096
+    tab_cols, tab_x = _tabular_batch(B_TAB, rng)
+    seq_cols, seq_x = _sequence_batch(B_SEQ, rng)
+
+    configs = {
+        "WDL": lambda: (zoo.WDL(tab_cols, tab_cols), tab_cols, tab_x, B_TAB),
+        "DeepFM": lambda: (zoo.DeepFM(tab_cols, tab_cols), tab_cols, tab_x, B_TAB),
+        "xDeepFM": lambda: (zoo.xDeepFM(tab_cols, tab_cols), tab_cols, tab_x, B_TAB),
+        "AutoInt": lambda: (zoo.AutoInt(tab_cols, tab_cols), tab_cols, tab_x, B_TAB),
+        "DCN": lambda: (zoo.DCN(tab_cols, tab_cols), tab_cols, tab_x, B_TAB),
+        "DIN": lambda: (zoo.DIN(seq_cols, ["item", "cate"]), seq_cols, seq_x, B_SEQ),
+        "DIEN": lambda: (zoo.DIEN(seq_cols, ["item", "cate"], gru_type="AUGRU"),
+                         seq_cols, seq_x, B_SEQ),
+        "BST": lambda: (zoo.BST(seq_cols, ["item", "cate"], att_head_num=4),
+                        seq_cols, seq_x, B_SEQ),
+    }
+    for name, make in configs.items():
+        if selected and name not in selected:
+            continue
+        model, cols, x, batch = make()
+        model.compile(embedding_split_optimizer(), "binary_crossentropy",
+                      embedding_dtype="bfloat16")
+        rate = _measure(model, cols, x, batch)
+        print(json.dumps({"metric": "train_examples_per_s_per_chip",
+                          "model": name, "batch": batch,
+                          "value": round(rate, 1), "unit": "examples/s"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(set(sys.argv[1:]) or None)

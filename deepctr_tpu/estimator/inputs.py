@@ -23,9 +23,14 @@ class FixedLenFeature:
 
 
 def _batched(x_dict, y, batch_size, num_epochs, shuffle, seed=1024):
+    """num_epochs=None repeats indefinitely (the tf.data `repeat()` contract
+    the reference input_fns rely on) — bound iteration with train(steps=...)."""
+    import itertools
+
     n = len(next(iter(x_dict.values())))
     rng = np.random.RandomState(seed)
-    for _ in range(max(1, num_epochs or 1)):
+    epochs = itertools.count() if num_epochs is None else range(max(1, num_epochs))
+    for _ in epochs:
         idx = np.arange(n)
         if shuffle:
             rng.shuffle(idx)

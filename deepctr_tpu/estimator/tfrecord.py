@@ -170,7 +170,11 @@ def read_tfrecord_examples(filenames, feature_description) -> Dict[str, np.ndarr
                         raise ValueError(
                             "Feature '%s' missing and has no default" % name
                         )
-                    columns[name].append(spec.default_value)
+                    default = spec.default_value
+                    if not isinstance(default, (list, tuple)):
+                        size = int(np.prod(spec.shape)) if spec.shape else 1
+                        default = [default] * size
+                    columns[name].append(list(default))
                 else:
                     _, values = parsed[name]
                     columns[name].append(values)

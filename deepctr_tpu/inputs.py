@@ -121,11 +121,25 @@ class EmbeddingTables(nn.Module):
         self._plan = plan
         self.tables = tables
 
-    def _table(self, feat):
+    def _table_raw(self, feat):
         t = self.tables[feat.embedding_name]
         if not feat.trainable:
             t = jax.lax.stop_gradient(t)
         return t
+
+    def _table(self, feat):
+        """Direct table access (model code bypassing the lookup funnel, e.g.
+        DSIN's session gathers). In planning mode this records a 'direct'
+        marker so the sparse-update engine keeps such tables on the dense
+        gradient path (their grads cannot be hoisted)."""
+        if self.is_mutable_collection("gather_plan"):
+            self.sow(
+                "gather_plan", "__direct__|" + feat.embedding_name,
+                jnp.zeros((2,), jnp.float32),
+                init_fn=lambda: jnp.zeros((2,), jnp.float32),
+                reduce_fn=lambda a, b: b,
+            )
+        return self._table_raw(feat)
 
     def _rows(self, feat, ids):
         """Embedding rows for one feature.
@@ -140,22 +154,21 @@ class EmbeddingTables(nn.Module):
         key = feat.name
         if self.is_mutable_collection("gather_plan"):
             kind = 1 if isinstance(feat, VarLenSparseFeat) else 0
+            meta = jnp.asarray([kind, self.l2_reg], jnp.float32)
             self.sow(
-                "gather_plan", key + "|" + feat.embedding_name,
-                jnp.asarray(kind, jnp.int32),
-                init_fn=lambda: jnp.asarray(kind, jnp.int32),
+                "gather_plan", key + "|" + feat.embedding_name, meta,
+                init_fn=lambda: meta,
                 reduce_fn=lambda a, b: b,
             )
         if self.has_variable("gathered", key):
             rows = self.get_variable("gathered", key)
             if not feat.trainable:
                 rows = jax.lax.stop_gradient(rows)
-            if self.l2_reg:
-                # lazy (touched-rows) regularization replaces full-table l2
-                # in sparse-update mode
-                _l2_reg(self, self.l2_reg, rows)
+            # lazy (touched-rows) l2 happens ONCE per plan entry in the
+            # sparse train step, not here — a feature may be looked up
+            # several times per forward pass (e.g. DIN query + dnn lists)
             return rows
-        rows = jnp.take(self._table(feat), ids, axis=0, mode="clip")
+        rows = jnp.take(self._table_raw(feat), ids, axis=0, mode="clip")
         if rows.dtype != jnp.float32:
             # low-precision table storage (e.g. bf16): compute in f32
             rows = rows.astype(jnp.float32)

@@ -78,7 +78,9 @@ def _gather_pool_fwd_pallas(table, ids, mask, combiner, interpret):
         ids = jnp.concatenate([ids, jnp.zeros((pad_b, T), ids.dtype)], axis=0)
         maskf = jnp.concatenate([maskf, jnp.zeros((pad_b, T), jnp.float32)], axis=0)
     Bp = B + pad_b
-    ids_i32 = ids.astype(jnp.int32)
+    # mode="clip" parity with every other lookup path: OOV ids clamp
+    # (also keeps the kernel's row DMAs in bounds)
+    ids_i32 = jnp.clip(ids.astype(jnp.int32), 0, V - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -88,7 +90,7 @@ def _gather_pool_fwd_pallas(table, ids, mask, combiner, interpret):
             pl.BlockSpec((_TILE_B, T), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_TILE_B, T), lambda b: (b, 0)),  # mask tile (VMEM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=pl.BlockSpec((_TILE_B, E), lambda b: (b, 0)),
         scratch_shapes=[
@@ -125,6 +127,7 @@ def _fwd(table, ids, mask, combiner, interpret):
 def _bwd(combiner, interpret, res, g):
     table, ids, mask, out = res
     B, T = ids.shape
+    ids = jnp.clip(ids.astype(jnp.int32), 0, table.shape[0] - 1)  # clip parity
     maskf = mask.astype(jnp.float32)
     if combiner == "mean":
         denom = jnp.sum(maskf, axis=1, keepdims=True) + 1e-8

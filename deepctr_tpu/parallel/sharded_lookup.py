@@ -47,7 +47,8 @@ def sharded_lookup(table, ids, mesh, model_axis="model", data_axis="data"):
         # position of this device along the model axis
         m = jax.lax.axis_index(model_axis)
         start = m * rows_per_shard
-        flat = ids_shard.reshape(-1)
+        # mode="clip" parity with the single-chip path (inputs.py)
+        flat = jnp.clip(ids_shard.reshape(-1), 0, V - 1)
         local = flat - start
         in_range = (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)

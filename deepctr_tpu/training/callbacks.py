@@ -53,7 +53,14 @@ class EarlyStopping(Callback):
             self._best = current
             self._wait = 0
             if self.restore_best_weights and model.state is not None:
-                self._best_state = model.state
+                # deep-copy: the live buffers get donated by later train
+                # steps, which would delete them out from under us
+                import jax
+                import jax.numpy as jnp
+
+                self._best_state = jax.tree.map(
+                    lambda x: jnp.array(x, copy=True), model.state
+                )
             return None
         self._wait += 1
         if self._wait > self.patience:

@@ -125,7 +125,31 @@ class CTRModel:
         self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
         self._predict_step = None
+        if self.state is not None:
+            # re-compile on a built model: keep the learned params but
+            # rebuild optimizer/engine state to match the new configuration
+            self._rebind_optimizer()
         return self
+
+    def _rebind_optimizer(self):
+        params, model_state = self.state.params, self.state.model_state
+        embed_state = None
+        if self.sparse_embedding_updates:
+            from . import sparse_embedding as se
+
+            if self._gather_plan is None:
+                raise ValueError(
+                    "sparse_embedding_updates=True on an already-built model "
+                    "requires rebuilding: construct the model again before "
+                    "compile (the gather plan needs a sample batch)."
+                )
+            dense_params, tables = se.split_tables(params, self._gather_plan)
+            opt_state = self.optimizer.init(dense_params)
+            embed_state = se.init_embed_state(tables)
+        else:
+            opt_state = self.optimizer.init(params)
+        self.state = self.state.replace(opt_state=opt_state,
+                                        embed_state=embed_state)
 
     def _init_variables(self, x_canonical):
         sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
@@ -263,6 +287,7 @@ class CTRModel:
                 )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
+                extra = extra + se.lazy_l2(rows_, plan)
                 return task_loss + extra, (mutated, task_loss)
 
             (loss, (mutated, task_loss)), (g_dense, g_rows) = jax.value_and_grad(
@@ -454,8 +479,12 @@ class CTRModel:
         if self.state is None:
             raise ValueError("Model has no variables yet; call fit/predict first.")
         module = self.module
-        params = jax.tree.map(lambda x: x, self.state.params)
-        model_state = jax.tree.map(lambda x: x, self.state.model_state)
+        # REAL copies: the live state buffers get donated by the next train
+        # step, which would leave the serving closure holding deleted arrays
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), self.state.params)
+        model_state = jax.tree.map(
+            lambda x: jnp.array(x, copy=True), self.state.model_state
+        )
 
         @jax.jit
         def serve(batch):

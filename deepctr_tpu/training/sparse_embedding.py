@@ -50,6 +50,7 @@ class PlanEntry(NamedTuple):
     feature: str                  # batch key supplying the ids
     embedding_name: str           # table param is "emb_" + embedding_name
     kind: int                     # 0 = sparse (B,), 1 = varlen (B, T)
+    l2_reg: float = 0.0           # owning funnel's embedding l2 (lazy reg)
 
     @property
     def table_path(self) -> Tuple[str, ...]:
@@ -61,19 +62,30 @@ class PlanEntry(NamedTuple):
 
 
 def discover_plan(module, variables, sample_batch) -> List[PlanEntry]:
-    """Run one instrumented forward pass and return the gather plan."""
+    """Run one instrumented forward pass and return the gather plan.
+
+    Tables that model code reads DIRECTLY (EmbeddingTables._table outside
+    the lookup funnel, e.g. DSIN's session gathers) are excluded — their
+    gradients cannot be hoisted, so they stay on the dense path.
+    """
     _, mutated = module.apply(
         variables, sample_batch, training=False,
         mutable=["gather_plan", "losses", "batch_stats"],
         rngs={"dropout": jax.random.PRNGKey(0)},
     )
     plan: List[PlanEntry] = []
+    direct_tables = set()
     flat = flatten_dict(mutated.get("gather_plan", {}))
-    for path, kind in flat.items():
+    for path, meta in flat.items():
         *module_path, key = path
         feature, embedding_name = key.rsplit("|", 1)
+        if feature == "__direct__":
+            direct_tables.add(tuple(module_path) + ("emb_" + embedding_name,))
+            continue
+        meta = np.asarray(meta).reshape(-1)
         plan.append(PlanEntry(tuple(module_path), feature, embedding_name,
-                              int(np.asarray(kind))))
+                              int(meta[0]), float(meta[1])))
+    plan = [e for e in plan if e.table_path not in direct_tables]
     plan.sort()
     return plan
 
@@ -98,7 +110,9 @@ def merge_tables(dense_params, tables):
 
 
 def gather_rows(tables, batch, plan):
-    """Hoisted gathers: {module_path + (feature,): rows} as a nested dict."""
+    """Hoisted gathers: {module_path + (feature,): rows} as a nested dict.
+    Rows are upcast to f32 (matching the dense path's low-precision-storage
+    convention in inputs.py `_rows`)."""
     rows_flat = {}
     for entry in plan:
         table = tables[entry.table_path]
@@ -107,8 +121,22 @@ def gather_rows(tables, batch, plan):
             rows = jnp.take(table, ids.reshape(-1), axis=0, mode="clip")
         else:
             rows = jnp.take(table, ids, axis=0, mode="clip")
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)
         rows_flat[entry.rows_path] = rows
     return unflatten_dict(rows_flat)
+
+
+def lazy_l2(rows, plan):
+    """Touched-rows l2 term, exactly once per plan entry (replaces the dense
+    path's full-table l2 in sparse-update mode)."""
+    rows_flat = flatten_dict(rows)
+    total = jnp.zeros((), jnp.float32)
+    for entry in plan:
+        if entry.l2_reg:
+            r = rows_flat[entry.rows_path]
+            total = total + entry.l2_reg * jnp.sum(jnp.square(r))
+    return total
 
 
 def init_embed_state(tables, initial_accumulator_value=0.1):
