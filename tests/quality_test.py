@@ -38,22 +38,42 @@ def _criteo():
     data[dense] = MinMaxScaler().fit_transform(data[dense])
     cols = [SparseFeat(f, int(data[f].max() + 1), GOLDENS["embedding_dim"])
             for f in sparse]
-    cols += [DenseFeat(f, 1) for f in dense]
+    cols8 = cols[:8]  # the heavy models' golden config (no dense)
+    cols = cols + [DenseFeat(f, 1) for f in dense]
     x = {n: data[n].values for n in get_feature_names(cols)}
-    return x, data["label"].values, cols
+    return x, data["label"].values, cols, cols8
 
 
+# factory(cols, cols8) -> (model, columns the golden run used)
 _FACTORIES = {
-    "DeepFM": lambda cols: zoo.DeepFM(cols, cols),
-    "WDL": lambda cols: zoo.WDL(cols, cols),
-    "xDeepFM": lambda cols: zoo.xDeepFM(cols, cols, dnn_hidden_units=(64, 32),
-                                        cin_layer_size=(16, 16)),
-    "DCN": lambda cols: zoo.DCN(cols, cols, dnn_hidden_units=(64, 32)),
-    "AutoInt": lambda cols: zoo.AutoInt(cols, cols, dnn_hidden_units=(64, 32)),
-    "FiBiNET": lambda cols: zoo.FiBiNET(cols, cols, dnn_hidden_units=(64, 32)),
-    "NFM": lambda cols: zoo.NFM(cols, cols, dnn_hidden_units=(64, 32)),
-    "PNN": lambda cols: zoo.PNN(cols, dnn_hidden_units=(64, 32)),
-    "DeepFEFM": lambda cols: zoo.DeepFEFM(cols, cols, dnn_hidden_units=(64, 32)),
+    "DeepFM": lambda c, c8: (zoo.DeepFM(c, c), c),
+    "WDL": lambda c, c8: (zoo.WDL(c, c), c),
+    "xDeepFM": lambda c, c8: (zoo.xDeepFM(c, c, dnn_hidden_units=(64, 32),
+                                          cin_layer_size=(16, 16)), c),
+    "DCN": lambda c, c8: (zoo.DCN(c, c, dnn_hidden_units=(64, 32)), c),
+    "AutoInt": lambda c, c8: (zoo.AutoInt(c, c, dnn_hidden_units=(64, 32)), c),
+    "FiBiNET": lambda c, c8: (zoo.FiBiNET(c, c, dnn_hidden_units=(64, 32)), c),
+    "NFM": lambda c, c8: (zoo.NFM(c, c, dnn_hidden_units=(64, 32)), c),
+    "PNN": lambda c, c8: (zoo.PNN(c, dnn_hidden_units=(64, 32)), c),
+    "DeepFEFM": lambda c, c8: (zoo.DeepFEFM(c, c, dnn_hidden_units=(64, 32)), c),
+    "AFM": lambda c, c8: (zoo.AFM(c8, c8), c8),
+    "FNN": lambda c, c8: (zoo.FNN(c, c, dnn_hidden_units=(64, 32)), c),
+    "CCPM": lambda c, c8: (zoo.CCPM(c8, c8, conv_kernel_width=(3, 2),
+                                    conv_filters=(4, 4),
+                                    dnn_hidden_units=(32,)), c8),
+    "FGCNN": lambda c, c8: (zoo.FGCNN(c8, c8, conv_kernel_width=(3, 3),
+                                      conv_filters=(4, 4), new_maps=(2, 2),
+                                      pooling_width=(2, 2),
+                                      dnn_hidden_units=(32,)), c8),
+    "IFM": lambda c, c8: (zoo.IFM(c8, c8, dnn_hidden_units=(32, 16)), c8),
+    "DIFM": lambda c, c8: (zoo.DIFM(c8, c8, att_head_num=2,
+                                    dnn_hidden_units=(32, 16)), c8),
+    "FwFM": lambda c, c8: (zoo.FwFM(c, c, dnn_hidden_units=(64, 32)), c),
+    "EDCN": lambda c, c8: (zoo.EDCN(c8, c8), c8),
+    "DCNMix": lambda c, c8: (zoo.DCNMix(c, c, dnn_hidden_units=(64, 32),
+                                        low_rank=8, num_experts=2), c),
+    "ONN": lambda c, c8: (zoo.ONN(c8, c8, dnn_hidden_units=(32,)), c8),
+    "MLR": lambda c, c8: (zoo.MLR(c), c),
 }
 
 
@@ -62,12 +82,13 @@ _FACTORIES = {
 ))
 def test_auc_parity_with_reference(name):
     golden = GOLDENS["metrics"][name]["train_auc"]
-    x, y, cols = _criteo()
-    model = _FACTORIES[name](cols)
+    x, y, cols, cols8 = _criteo()
+    model, used_cols = _FACTORIES[name](cols, cols8)
+    x_used = {n: x[n] for n in get_feature_names(used_cols)}
     model.compile("adam", "binary_crossentropy")
-    model.fit(x, y, batch_size=GOLDENS["batch_size"], epochs=GOLDENS["epochs"],
-              verbose=0)
-    p = model.predict(x, batch_size=256)
+    model.fit(x_used, y, batch_size=GOLDENS["batch_size"],
+              epochs=GOLDENS["epochs"], verbose=0)
+    p = model.predict(x_used, batch_size=256)
     auc = roc_auc_score(y, p)
     assert auc >= golden - AUC_TOLERANCE, (
         "%s: our AUC %.4f vs reference golden %.4f" % (name, auc, golden)
