@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_N = 64  # ids processed per grid step (an (8, 8) SMEM id tile)
+_TILE_N = 64  # ids per grid step; ring-buffered deeper pipelining is a TODO
+# (raising this to 512 exceeded the DMA-semaphore budget in compiled mode)
 
 
 def _scatter_kernel(uids_ref, upd_ref, table_ref, out_ref, scratch, sems, *, V):
@@ -109,7 +110,7 @@ def scatter_add_rows(table, uids, updates, interpret: bool = False):
         num_scalar_prefetch=0,
         grid=(Np // _TILE_N,),
         in_specs=[
-            pl.BlockSpec((8, 8), lambda n: (n, 0),
+            pl.BlockSpec((_TILE_N // 8, 8), lambda n: (n, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_TILE_N, E), lambda n: (n, 0)),  # updates (VMEM)
             pl.BlockSpec(memory_space=pl.ANY),  # table in HBM
