@@ -18,6 +18,7 @@ from .features import (
 )
 from .training.checkpoint import load_model, save_model
 from .training.model import CTRModel
+from .utils import check_version
 
 __version__ = "0.1.0"
 
@@ -31,5 +32,6 @@ __all__ = [
     "CTRModel",
     "save_model",
     "load_model",
+    "check_version",
     "__version__",
 ]

@@ -147,11 +147,14 @@ def init_embed_state(tables, initial_accumulator_value=0.1):
     }
 
 
-def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps):
+def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
+                             use_pallas=False, interpret=False):
     """Exact row-wise Adagrad on a row-sparse gradient.
 
     ids (N,) may contain duplicates; grads (N, E). Sort + segment-sum makes
     the per-row total gradient exact, then only those rows are touched.
+    ``use_pallas`` routes the table update through the DMA scatter kernel
+    (ops/scatter.py) instead of XLA's scatter.
     """
     V = table.shape[0]
     N = ids.shape[0]
@@ -171,13 +174,21 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps):
     a_old = acc[safe_uids, 0]
     a_new = a_old + jnp.mean(G * G, axis=1)
     update = -lr * G * jax.lax.rsqrt(a_new + eps)[:, None]
-    table = table.at[uids].add(update.astype(table.dtype), mode="drop")
+    if use_pallas:
+        from ..ops.scatter import scatter_add_rows
+
+        # out-of-range uids (padding) are skipped by the kernel contract
+        table = scatter_add_rows(table, uids, update.astype(table.dtype),
+                                 interpret=interpret)
+    else:
+        table = table.at[uids].add(update.astype(table.dtype), mode="drop")
     acc = acc.at[uids, 0].set(a_new, mode="drop")
     return table, acc
 
 
 def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
-                         learning_rate=0.01, eps=1e-10):
+                         learning_rate=0.01, eps=1e-10, use_pallas=False,
+                         interpret=False):
     """Scatter row-sparse updates into every planned table."""
     grads_flat = flatten_dict(rows_grads)
     per_table: Dict[Tuple[str, ...], list] = defaultdict(list)
@@ -194,6 +205,7 @@ def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
         ids_all = jnp.concatenate([p[0] for p in pairs])
         g_all = jnp.concatenate([p[1] for p in pairs])
         new_tables[path], new_state[path] = _rowwise_adagrad_scatter(
-            tables[path], embed_state[path], ids_all, g_all, learning_rate, eps
+            tables[path], embed_state[path], ids_all, g_all, learning_rate,
+            eps, use_pallas=use_pallas, interpret=interpret,
         )
     return new_tables, new_state
