@@ -143,6 +143,109 @@ def test_din_auc_parity_with_reference():
     )
 
 
+def test_bst_auc_parity_with_reference():
+    """BST on the DIN membership task (goldens 'sequence')."""
+    from deepctr_tpu import VarLenSparseFeat
+
+    golden = GOLDENS["sequence"]["BST"]
+    rng = np.random.RandomState(0)
+    N = 256
+    feature_columns = [
+        SparseFeat("user", 10, embedding_dim=8),
+        SparseFeat("gender", 2, embedding_dim=8),
+        SparseFeat("item_id", 20, embedding_dim=8),
+        SparseFeat("cate_id", 10, embedding_dim=8),
+        DenseFeat("pay_score", 1),
+    ]
+    feature_columns += [
+        VarLenSparseFeat(SparseFeat("hist_item_id", 20, embedding_dim=8,
+                                    embedding_name="item_id"),
+                         maxlen=6, length_name="seq_length"),
+        VarLenSparseFeat(SparseFeat("hist_cate_id", 10, embedding_dim=8,
+                                    embedding_name="cate_id"),
+                         maxlen=6, length_name="seq_length"),
+    ]
+    x = {
+        "user": rng.randint(0, 10, N), "gender": rng.randint(0, 2, N),
+        "item_id": rng.randint(1, 20, N), "cate_id": rng.randint(1, 10, N),
+        "pay_score": rng.rand(N),
+        "hist_item_id": rng.randint(1, 20, (N, 6)),
+        "hist_cate_id": rng.randint(1, 10, (N, 6)),
+        "seq_length": rng.randint(1, 7, N),
+    }
+    y = np.array([
+        1 if x["item_id"][i] in x["hist_item_id"][i][: x["seq_length"][i]] else 0
+        for i in range(N)
+    ])
+    model = zoo.BST(feature_columns, ["item_id", "cate_id"], att_head_num=4,
+                    dnn_hidden_units=(32, 16))
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=golden["batch_size"], epochs=golden["epochs"],
+              verbose=0)
+    auc = roc_auc_score(y, model.predict(x, batch_size=64))
+    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
+        "BST: our AUC %.4f vs golden %.4f" % (auc, golden["train_auc"])
+    )
+
+
+def test_dsin_auc_parity_with_reference():
+    """DSIN on a two-session membership task (goldens 'sequence')."""
+    from deepctr_tpu import VarLenSparseFeat
+
+    golden = GOLDENS["sequence"]["DSIN"]
+    rng = np.random.RandomState(0)
+    # consume the same rng stream positions as the golden generator (the
+    # BST block above used a fresh rng; the reference script drew BST data
+    # first, so replicate that draw order here)
+    N = 256
+    _ = (rng.randint(0, 10, N), rng.randint(0, 2, N), rng.randint(1, 20, N),
+         rng.randint(1, 10, N), rng.rand(N), rng.randint(1, 20, (N, 6)),
+         rng.randint(1, 10, (N, 6)), rng.randint(1, 7, N))
+    fc2 = [
+        SparseFeat("user", 10, embedding_dim=4),
+        SparseFeat("gender", 2, embedding_dim=4),
+        SparseFeat("item", 20, embedding_dim=4),
+        SparseFeat("item_gender", 3, embedding_dim=4),
+        DenseFeat("score", 1),
+    ]
+    fc2 += [
+        VarLenSparseFeat(SparseFeat("sess_0_item", 20, embedding_dim=4,
+                                    embedding_name="item"), maxlen=5),
+        VarLenSparseFeat(SparseFeat("sess_0_item_gender", 3, embedding_dim=4,
+                                    embedding_name="item_gender"), maxlen=5),
+        VarLenSparseFeat(SparseFeat("sess_1_item", 20, embedding_dim=4,
+                                    embedding_name="item"), maxlen=5),
+        VarLenSparseFeat(SparseFeat("sess_1_item_gender", 3, embedding_dim=4,
+                                    embedding_name="item_gender"), maxlen=5),
+    ]
+    x2 = {
+        "user": rng.randint(0, 10, N), "gender": rng.randint(0, 2, N),
+        "item": rng.randint(1, 20, N), "item_gender": rng.randint(1, 3, N),
+        "score": rng.rand(N),
+        "sess_0_item": rng.randint(1, 20, (N, 5)),
+        "sess_0_item_gender": rng.randint(1, 3, (N, 5)),
+        "sess_1_item": rng.randint(1, 20, (N, 5)),
+        "sess_1_item_gender": rng.randint(1, 3, (N, 5)),
+    }
+    x2["sess_length"] = rng.randint(1, 3, N)
+    y2 = np.array([
+        1 if (x2["item"][i] in x2["sess_0_item"][i])
+        or (x2["sess_length"][i] > 1 and x2["item"][i] in x2["sess_1_item"][i])
+        else 0
+        for i in range(N)
+    ])
+    model = zoo.DSIN(fc2, ["item", "item_gender"], sess_max_count=2,
+                     dnn_hidden_units=(32, 16), att_embedding_size=1,
+                     att_head_num=8)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x2, y2, batch_size=golden["batch_size"], epochs=golden["epochs"],
+              verbose=0)
+    auc = roc_auc_score(y2, model.predict(x2, batch_size=64))
+    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
+        "DSIN: our AUC %.4f vs golden %.4f" % (auc, golden["train_auc"])
+    )
+
+
 def test_mmoe_auc_parity_with_reference():
     """MMOE on census-income; reference memorizes both tasks to AUC 1.0
     (tests/goldens.json 'multitask') — so must we."""
