@@ -13,13 +13,14 @@ import time
 import numpy as np
 
 
-def main():
+def main(configs=None, steps=50):
     import jax
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    results = []
-    for (n_tables, V, E, B) in [(26, 100_000, 16, 32768), (26, 100_000, 128, 8192)]:
+    if configs is None:
+        configs = [(26, 100_000, 16, 32768), (26, 100_000, 128, 8192)]
+    for (n_tables, V, E, B) in configs:
         tables = [
             jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
             for _ in range(n_tables)
@@ -37,7 +38,6 @@ def main():
 
         out = burst(tables, idss)
         jax.block_until_ready(out)
-        steps = 50
         t0 = time.perf_counter()
         for _ in range(steps):
             out = burst(tables, idss)

@@ -10,8 +10,9 @@ Contract:
 - ``uids`` must be duplicate-free among valid entries (the sparse engine's
   sort + segment-sum produces exactly this); rows with ``uids[i] >= V`` are
   skipped (padding convention of sparse_embedding._rowwise_adagrad_scatter).
-- Embedding dim is padded to 128 lanes internally (Mosaic DMA alignment);
-  for tables whose E is already a multiple of 128 this is free.
+- Compiled mode requires E to be a multiple of 128 (Mosaic DMA lane
+  alignment); other dims fall back to XLA's scatter — padding would force a
+  full padded-table copy, the exact O(V*E) traffic this kernel avoids.
 
 ``scatter_add_rows(table, uids, updates)`` returns the updated table.
 Use ``interpret=True`` on CPU.
@@ -90,11 +91,12 @@ def scatter_add_rows(table, uids, updates, interpret: bool = False):
     """
     V, E_in = table.shape
     N = uids.shape[0]
-    pad_e = (-E_in) % 128 if not interpret else 0
-    if pad_e:
-        table = jnp.pad(table, ((0, 0), (0, pad_e)))
-        updates = jnp.pad(updates, ((0, 0), (0, pad_e)))
-    E = E_in + pad_e
+    if not interpret and E_in % 128 != 0:
+        # Padding the lane dim would require a FULL padded table copy per
+        # call — exactly the O(V*E) traffic this kernel exists to avoid.
+        # Small-dim tables stay on XLA's scatter instead.
+        return table.at[uids].add(updates, mode="drop")
+    E = E_in
     pad_n = (-N) % _TILE_N
     if pad_n:
         uids = jnp.concatenate(
@@ -129,6 +131,4 @@ def scatter_add_rows(table, uids, updates, interpret: bool = False):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(uids2d, updates, table)
-    if pad_e:
-        out = out[:, :E_in]
     return out

@@ -13,14 +13,21 @@ import jax
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None):
-    """Initialize jax.distributed (no-op on single-process TPU slices where
-    the runtime auto-detects). Call once before any mesh construction."""
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed; returns True when a multi-process runtime
+    was set up. Safe to call unconditionally: a second call and
+    environments where cluster parameters can't be auto-detected (plain
+    CPU/GPU dev boxes) degrade to a no-op returning False."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except (RuntimeError, ValueError):
+        # already initialized, or nothing to auto-detect on this host
+        return False
 
 
 def global_mesh(shape, axis_names=("data", "model")):

@@ -82,6 +82,7 @@ class CTRModel:
         self.sparse_embedding_updates = False
         self.embedding_lr = 0.01
         self.embedding_dtype = None
+        self.pallas_scatter_updates = False
         self._gather_plan = None
         self.history = History()
         self._train_step = None
@@ -95,7 +96,7 @@ class CTRModel:
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
-                embedding_dtype=None):
+                embedding_dtype=None, pallas_scatter_updates=False):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -122,6 +123,7 @@ class CTRModel:
         self.sparse_embedding_updates = sparse_embedding_updates
         self.embedding_lr = embedding_lr
         self.embedding_dtype = embedding_dtype
+        self.pallas_scatter_updates = pallas_scatter_updates
         self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
         self._predict_step = None
@@ -271,6 +273,7 @@ class CTRModel:
         optimizer = self.optimizer
         plan = self._gather_plan
         embedding_lr = self.embedding_lr
+        use_pallas = self.pallas_scatter_updates
 
         def train_step(state: TrainState, xb, yb, wb, rng):
             dense_params, tables = se.split_tables(state.params, plan)
@@ -300,7 +303,7 @@ class CTRModel:
             new_dense = optax.apply_updates(dense_params, updates)
             new_tables, new_embed = se.apply_sparse_updates(
                 tables, state.embed_state, g_rows, xb, plan,
-                learning_rate=embedding_lr,
+                learning_rate=embedding_lr, use_pallas=use_pallas,
             )
             new_params = se.merge_tables(new_dense, new_tables)
 

@@ -3,6 +3,8 @@ train(input_fn) + evaluate(input_fn), pandas and TFRecord inputs, model_dir
 checkpoint/restore."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -17,6 +19,10 @@ from deepctr_tpu.estimator import (
 )
 
 TFRECORD_TRAIN = "/root/reference/examples/criteo_sample.tr.tfrecords"
+_needs_reference = pytest.mark.skipif(
+    not os.path.exists(TFRECORD_TRAIN),
+    reason="reference sample data not available",
+)
 
 
 def _pandas_fixture(n=64, n_sparse=3, n_dense=2, seed=0):
@@ -65,6 +71,7 @@ def test_estimator_regression():
     assert "MSE" in result and "MAE" in result
 
 
+@_needs_reference
 def test_input_fn_tfrecord_reads_reference_file():
     sparse = ["C%d" % i for i in range(1, 27)]
     dense = ["I%d" % i for i in range(1, 14)]
@@ -80,6 +87,7 @@ def test_input_fn_tfrecord_reads_reference_file():
     assert set(np.unique(yb)) <= {0.0, 1.0}
 
 
+@_needs_reference
 def test_estimator_tfrecord_end_to_end():
     sparse = ["C%d" % i for i in range(1, 27)]
     dense = ["I%d" % i for i in range(1, 14)]

@@ -183,8 +183,12 @@ def test_bst_auc_parity_with_reference():
     model.fit(x, y, batch_size=golden["batch_size"], epochs=golden["epochs"],
               verbose=0)
     auc = roc_auc_score(y, model.predict(x, batch_size=64))
-    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
-        "BST: our AUC %.4f vs golden %.4f" % (auc, golden["train_auc"])
+    # the BST golden is the mean over reference seeds and carries its own
+    # variance-derived tolerance (no double discounting)
+    tol = golden.get("tolerance", AUC_TOLERANCE)
+    assert auc >= golden["train_auc"] - tol, (
+        "BST: our AUC %.4f vs golden %.4f (tol %.3f)"
+        % (auc, golden["train_auc"], tol)
     )
 
 
