@@ -78,17 +78,30 @@ class Estimator:
         from ..features import canonicalize_batch
 
         step_count = 0
+        pad_to = None  # fixed device batch shape -> exactly one XLA program
         for xb, yb in input_fn():
             if yb is None:
                 raise ValueError("train() requires labels from the input_fn")
             xc = canonicalize_batch(xb, self.model.feature_columns)
             yc = self.model._canon_y(yb)
+            n_real = len(yc)
+            if pad_to is None:
+                pad_to = n_real
+            w = np.ones(n_real, np.float32)
+            if n_real < pad_to:
+                # partial final batch: repeat the last sample with weight 0
+                # (data.py convention) instead of retracing a new batch shape
+                # — remote-TPU compiles cost 1s-6min each (CLAUDE.md).
+                pad = pad_to - n_real
+                xc = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                      for k, v in xc.items()}
+                yc = np.concatenate([yc, np.repeat(yc[-1:], pad, axis=0)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
             self.model._ensure_built(xc)
             if self.model._train_step is None:
                 self.model._train_step = self.model._build_train_step()
             import jax.numpy as jnp
 
-            w = np.ones(len(yc), np.float32)
             self.model._rng, rng = jax.random.split(self.model._rng)
             self.model.state, loss, task_loss = self.model._train_step(
                 self.model.state,

@@ -16,7 +16,7 @@ class LayerNormalization(nn.Module):
     @nn.compact
     def __call__(self, x):
         mean = jnp.mean(x, axis=self.axis, keepdims=True)
-        variance = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        variance = jnp.mean(jnp.square(x - mean), axis=self.axis, keepdims=True)
         std = jnp.sqrt(variance + self.eps)
         out = (x - mean) / std
         if self.scale:

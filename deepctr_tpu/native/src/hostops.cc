@@ -64,6 +64,9 @@ int64_t tfrecord_scan(const uint8_t* data, int64_t size, int64_t* out_off,
     ++count;
     pos += (int64_t)length + 4;  // payload + payload-crc
   }
+  // Trailing partial header: surface truncation the same way the Python
+  // reader does (ValueError) instead of silently dropping bytes.
+  if (pos != size) return -1;
   return count;
 }
 

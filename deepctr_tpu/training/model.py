@@ -290,7 +290,7 @@ class CTRModel:
                 )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
-                extra = extra + se.lazy_l2(rows_, plan)
+                extra = extra + se.lazy_l2(rows_, plan, sample_weight=wb)
                 return task_loss + extra, (mutated, task_loss)
 
             (loss, (mutated, task_loss)), (g_dense, g_rows) = jax.value_and_grad(

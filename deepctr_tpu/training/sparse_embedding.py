@@ -127,15 +127,25 @@ def gather_rows(tables, batch, plan):
     return unflatten_dict(rows_flat)
 
 
-def lazy_l2(rows, plan):
+def lazy_l2(rows, plan, sample_weight=None):
     """Touched-rows l2 term, exactly once per plan entry (replaces the dense
-    path's full-table l2 in sparse-update mode)."""
+    path's full-table l2 in sparse-update mode).
+
+    The reg is per-OCCURRENCE: a row looked up k times in the batch is
+    charged k times (the standard lazy-l2 approximation of full-table l2).
+    ``sample_weight`` masks out padding samples (data.py pads partial
+    batches by duplicating the last sample with weight 0) so batch padding
+    never adds reg gradient."""
     rows_flat = flatten_dict(rows)
     total = jnp.zeros((), jnp.float32)
     for entry in plan:
         if entry.l2_reg:
             r = rows_flat[entry.rows_path]
-            total = total + entry.l2_reg * jnp.sum(jnp.square(r))
+            sq = jnp.square(r)
+            if sample_weight is not None:
+                m = (sample_weight > 0).astype(jnp.float32)
+                sq = sq * m.reshape((m.shape[0],) + (1,) * (sq.ndim - 1))
+            total = total + entry.l2_reg * jnp.sum(sq)
     return total
 
 
@@ -158,6 +168,7 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
     """
     V = table.shape[0]
     N = ids.shape[0]
+    ids = jnp.clip(ids, 0, V - 1)  # forward-gather (mode="clip") parity
     order = jnp.argsort(ids)
     s_ids = ids[order]
     s_g = grads[order]
@@ -165,9 +176,14 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
         [jnp.ones((1,), jnp.int32), (s_ids[1:] != s_ids[:-1]).astype(jnp.int32)]
     )
     seg = jnp.cumsum(new_seg) - 1  # (N,) segment index per sorted element
-    G = jax.ops.segment_sum(s_g, seg, num_segments=N)  # row-total grads
-    # representative id per segment; unused slots parked out of range
-    uids = jnp.full((N,), V, jnp.int32).at[seg].set(s_ids, mode="drop")
+    G = jax.ops.segment_sum(s_g, seg, num_segments=N,
+                            indices_are_sorted=True)  # row-total grads
+    # representative id per segment; unused slots parked out of range.
+    # seg is dense 0..nseg-1, so uids come out SORTED ascending with the
+    # V-padding at the end — the layout the Pallas kernel's lane-packed
+    # dedup requires (ops/scatter.py contract).
+    uids = jnp.full((N,), V, jnp.int32).at[seg].set(
+        s_ids, mode="drop", indices_are_sorted=True)
     valid = uids < V
     G = jnp.where(valid[:, None], G, 0.0)
     safe_uids = jnp.where(valid, uids, 0)
@@ -179,10 +195,11 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
 
         # out-of-range uids (padding) are skipped by the kernel contract
         table = scatter_add_rows(table, uids, update.astype(table.dtype),
-                                 interpret=interpret)
+                                 interpret=interpret, assume_sorted=True)
     else:
-        table = table.at[uids].add(update.astype(table.dtype), mode="drop")
-    acc = acc.at[uids, 0].set(a_new, mode="drop")
+        table = table.at[uids].add(update.astype(table.dtype), mode="drop",
+                                   indices_are_sorted=True)
+    acc = acc.at[uids, 0].set(a_new, mode="drop", indices_are_sorted=True)
     return table, acc
 
 
@@ -194,7 +211,11 @@ def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
     per_table: Dict[Tuple[str, ...], list] = defaultdict(list)
     for entry in plan:
         g = grads_flat[entry.rows_path]
-        ids = batch[entry.feature].astype(jnp.int32)
+        # clip parity with the forward gather (mode="clip"): out-of-range ids
+        # credit the clamped row instead of dropping their gradient, and can
+        # never drive an out-of-bounds row DMA in the Pallas kernel.
+        V = tables[entry.table_path].shape[0]
+        ids = jnp.clip(batch[entry.feature].astype(jnp.int32), 0, V - 1)
         E = g.shape[-1]
         per_table[entry.table_path].append(
             (ids.reshape(-1), g.reshape(-1, E))

@@ -65,3 +65,64 @@ def test_pallas_path_matches_xla_in_sparse_engine():
     np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), rtol=1e-5)
+
+
+def test_packed_small_e_same_line_collisions():
+    """E=16 packs 8 rows/lane-line; adjacent sorted ids share a line and
+    must be pre-summed (never two RMWs of one line)."""
+    rng = np.random.RandomState(4)
+    V, E = 64, 16  # k = 8 rows per 128-lane line
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    # sorted unique ids with heavy same-line clustering + padding tail
+    uids = jnp.asarray([0, 1, 2, 3, 8, 9, 15, 16, 63, V, V], dtype=jnp.int32)
+    upd = jnp.asarray(rng.standard_normal((11, E)).astype(np.float32))
+    got = scatter_add_rows(table, uids, upd, interpret=True,
+                           assume_sorted=True)
+    want = np.asarray(table).copy()
+    for i, u in enumerate(np.asarray(uids)):
+        if u < V:
+            want[u] += np.asarray(upd)[i]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_negative_ids_are_skipped():
+    rng = np.random.RandomState(5)
+    V, E = 32, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    uids = jnp.asarray([-7, -1, 4, 12, V + 2], dtype=jnp.int32)
+    upd = jnp.asarray(rng.standard_normal((5, E)).astype(np.float32))
+    got = scatter_add_rows(table, uids, upd, interpret=True,
+                           assume_sorted=True)
+    want = np.asarray(table).copy()
+    want[4] += np.asarray(upd)[2]
+    want[12] += np.asarray(upd)[3]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_wide_e_multi_line():
+    """E=256 expands each row to 2 whole lines."""
+    rng = np.random.RandomState(6)
+    V, E, N = 16, 256, 5
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    uids = jnp.asarray([1, 3, 7, 11, V], dtype=jnp.int32)
+    upd = jnp.asarray(rng.standard_normal((N, E)).astype(np.float32))
+    got = scatter_add_rows(table, uids, upd, interpret=True,
+                           assume_sorted=True)
+    want = np.asarray(table).copy()
+    for i, u in enumerate(np.asarray(uids)):
+        if u < V:
+            want[u] += np.asarray(upd)[i]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_unsorted_ids_internal_sort_on_packed_path():
+    rng = np.random.RandomState(7)
+    V, E = 64, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    uids = jnp.asarray([9, 0, 63, 8, 1], dtype=jnp.int32)  # unsorted unique
+    upd = jnp.asarray(rng.standard_normal((5, E)).astype(np.float32))
+    got = scatter_add_rows(table, uids, upd, interpret=True)
+    want = np.asarray(table).copy()
+    for i, u in enumerate(np.asarray(uids)):
+        want[u] += np.asarray(upd)[i]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
