@@ -60,14 +60,28 @@ def input_fn_pandas(df, features, label=None, batch_size=256, num_epochs=1,
 def input_fn_tfrecord(filenames, feature_description, label=None, batch_size=256,
                       num_epochs=1, num_parallel_calls=8, shuffle_factor=10,
                       prefetch_factor=1):
-    """TFRecord file(s) -> input_fn (reference estimator/inputs.py:22-52)."""
-    columns = read_tfrecord_examples(filenames, feature_description)
-    y = None
-    if label is not None:
-        y = np.asarray(columns.pop(label), np.float32).reshape(-1)
+    """TFRecord file(s) -> input_fn (reference estimator/inputs.py:22-52).
+
+    STREAMING: files are mmap'd and decoded chunk-by-chunk (native C++
+    parser), shuffled through a ``shuffle_factor * batch_size`` record pool
+    and prefetched by a background thread — host memory stays
+    O(shuffle buffer), independent of dataset size (estimator/streaming.py).
+    ``num_parallel_calls`` sets the chunk granularity handed to the
+    GIL-releasing native parser.
+    """
+    from .streaming import iter_tfrecord_batches, prefetched
+
+    shuffle_buffer = batch_size * shuffle_factor if shuffle_factor else 0
+    chunk_records = max(batch_size, 512 * max(1, num_parallel_calls))
 
     def input_fn():
-        return _batched(columns, y, batch_size, num_epochs,
-                        shuffle=shuffle_factor > 0)
+        it = iter_tfrecord_batches(
+            filenames, feature_description, label=label,
+            batch_size=batch_size, num_epochs=num_epochs,
+            shuffle_buffer=shuffle_buffer, chunk_records=chunk_records,
+        )
+        if prefetch_factor:
+            it = prefetched(it, depth=prefetch_factor + 1)
+        return it
 
     return input_fn

@@ -64,6 +64,12 @@ def get_lib():
             ctypes.c_int64,
         ]
         lib.tfrecord_scan.restype = ctypes.c_int64
+        lib.parse_examples.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.parse_examples.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -91,25 +97,91 @@ def hash_strings(strings, num_buckets: int, mask_zero: bool = False):
     return out
 
 
+def parse_examples_batch(data: np.ndarray, offsets: np.ndarray,
+                         lengths: np.ndarray, schema):
+    """Batch-decode tf.train.Example payloads into dense columns.
+
+    ``data`` is the raw file bytes (uint8 array, possibly a mmap view),
+    ``offsets``/``lengths`` address each record's payload, and ``schema``
+    is a list of ``(name, kind, width)`` with kind ``"int64"``/``"float"``.
+
+    Returns ``(columns, missing)`` where columns maps name -> (n, width)
+    array and missing is an (n, nf) uint8 mask of absent features — or
+    None when the native library is unavailable (caller falls back to the
+    pure-Python parser). Raises ValueError on malformed records.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offsets)
+    nf = len(schema)
+    name_blob = b"".join(name.encode("utf-8") for name, _, _ in schema)
+    name_off = np.zeros(nf + 1, np.int64)
+    for j, (name, _, _) in enumerate(schema):
+        name_off[j + 1] = name_off[j] + len(name.encode("utf-8"))
+    names = (np.frombuffer(name_blob, np.uint8)
+             if name_blob else np.zeros(0, np.uint8))
+    kinds = np.asarray([1 if k == "float" else 0 for _, k, _ in schema],
+                       np.int32)
+    widths = np.asarray([w for _, _, w in schema], np.int64)
+    cols = {}
+    ptrs = (ctypes.c_void_p * nf)()
+    for j, (name, kind, width) in enumerate(schema):
+        dtype = np.float32 if kind == "float" else np.int64
+        arr = np.zeros((n, width), dtype)
+        cols[name] = arr
+        ptrs[j] = arr.ctypes.data
+    missing = np.zeros((n, nf), np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    rc = lib.parse_examples(
+        data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
+        names.ctypes.data if nf else 0, name_off.ctypes.data,
+        kinds.ctypes.data, widths.ctypes.data, nf,
+        ctypes.cast(ptrs, ctypes.c_void_p), missing.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError("Malformed tf.train.Example at record %d" % (-rc - 1))
+    return cols, missing
+
+
+def scan_tfrecord_data(data: np.ndarray):
+    """(offsets, lengths) of every record payload in a raw TFRecord byte
+    array (uint8; may be an mmap view — streaming readers pass one so file
+    pages stay evictable), or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = len(data)
+    cap = max(16, size // 12)
+    off = np.empty(cap, np.int64)
+    length = np.empty(cap, np.int64)
+    n = lib.tfrecord_scan(data.ctypes.data, size, off.ctypes.data,
+                          length.ctypes.data, cap)
+    if n < 0:
+        raise ValueError("Malformed TFRecord data")
+    if n > cap:  # extremely small records; rescan with exact capacity
+        off = np.empty(n, np.int64)
+        length = np.empty(n, np.int64)
+        lib.tfrecord_scan(data.ctypes.data, size, off.ctypes.data,
+                          length.ctypes.data, n)
+    return off[:n], length[:n]
+
+
 def scan_tfrecord(path: str):
-    """(offsets, lengths) of every record payload in a TFRecord file, or
-    None if the native library is unavailable."""
+    """(raw, offsets, lengths) of every record payload in a TFRecord file,
+    or None if the native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     with open(path, "rb") as f:
         raw = f.read()
     data = np.frombuffer(raw, np.uint8)
-    cap = max(16, len(raw) // 12)
-    off = np.empty(cap, np.int64)
-    length = np.empty(cap, np.int64)
-    n = lib.tfrecord_scan(data.ctypes.data, len(raw), off.ctypes.data,
-                          length.ctypes.data, cap)
-    if n < 0:
+    try:
+        scanned = scan_tfrecord_data(data)
+    except ValueError:
         raise ValueError("Malformed TFRecord file: %s" % path)
-    if n > cap:  # extremely small records; rescan with exact capacity
-        off = np.empty(n, np.int64)
-        length = np.empty(n, np.int64)
-        lib.tfrecord_scan(data.ctypes.data, len(raw), off.ctypes.data,
-                          length.ctypes.data, n)
-    return raw, off[:n], length[:n]
+    if scanned is None:
+        return None
+    off, length = scanned
+    return raw, off, length

@@ -10,6 +10,9 @@
 //    so the Python path remains a correct fallback).
 //  - tfrecord_scan: scan TFRecord framing (u64 len, u32 crc, payload,
 //    u32 crc) and emit (offset, length) pairs for zero-copy slicing.
+//  - parse_examples: batch-decode tf.train.Example protobuf payloads
+//    straight into dense numpy column buffers (the hot loop of the
+//    streaming TFRecord input pipeline; role of TF's parse_example op).
 //
 // Built as a plain shared library (no pybind11; loaded via ctypes).
 
@@ -68,6 +71,241 @@ int64_t tfrecord_scan(const uint8_t* data, int64_t size, int64_t* out_off,
   // reader does (ValueError) instead of silently dropping bytes.
   if (pos != size) return -1;
   return count;
+}
+
+// ------------------- tf.train.Example batch parsing -------------------
+//
+// Wire format (proto3 subset actually used by Example):
+//   Example   { Features features = 1; }
+//   Features  { map<string, Feature> feature = 1; }   // repeated map entry
+//   map entry { string key = 1; Feature value = 2; }
+//   Feature   { BytesList=1 | FloatList=2 | Int64List=3 }  (value field 1,
+//               floats/ints possibly packed)
+
+namespace {
+
+inline bool read_varint(const uint8_t* buf, int64_t size, int64_t* pos,
+                        uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (*pos < size && shift < 64) {
+    const uint8_t b = buf[(*pos)++];
+    result |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// Decode one Feature message's numeric values into out (capacity `width`).
+// kind_out: 2=float, 3=int64 (matching the Feature field number). Returns
+// the number of values decoded, or -1 on malformed input / overflow.
+inline int64_t decode_feature(const uint8_t* buf, int64_t size,
+                              int64_t width, int32_t want_kind,
+                              double* out_f, int64_t* out_i) {
+  int64_t pos = 0;
+  int64_t count = 0;
+  while (pos < size) {
+    uint64_t tag;
+    if (!read_varint(buf, size, &pos, &tag)) return -1;
+    const uint32_t field = (uint32_t)(tag >> 3);
+    const uint32_t wire = (uint32_t)(tag & 0x7);
+    if (wire != 2) return -1;  // all list containers are length-delimited
+    uint64_t len;
+    if (!read_varint(buf, size, &pos, &len)) return -1;
+    if (pos + (int64_t)len > size) return -1;
+    const uint8_t* inner = buf + pos;
+    const int64_t isize = (int64_t)len;
+    pos += (int64_t)len;
+    if ((int32_t)field != want_kind) continue;  // e.g. bytes_list: skip
+    int64_t ip = 0;
+    while (ip < isize) {
+      uint64_t itag;
+      if (!read_varint(inner, isize, &ip, &itag)) return -1;
+      const uint32_t ifield = (uint32_t)(itag >> 3);
+      const uint32_t iwire = (uint32_t)(itag & 0x7);
+      if (ifield != 1) {  // skip unknown fields
+        if (iwire == 0) {
+          uint64_t skip;
+          if (!read_varint(inner, isize, &ip, &skip)) return -1;
+        } else if (iwire == 2) {
+          uint64_t skip;
+          if (!read_varint(inner, isize, &ip, &skip)) return -1;
+          ip += (int64_t)skip;
+        } else if (iwire == 5) {
+          ip += 4;
+        } else if (iwire == 1) {
+          ip += 8;
+        } else {
+          return -1;
+        }
+        continue;
+      }
+      if (want_kind == 2) {  // FloatList: packed (wire 2) or single f32
+        if (iwire == 2) {
+          uint64_t plen;
+          if (!read_varint(inner, isize, &ip, &plen)) return -1;
+          if (ip + (int64_t)plen > isize || plen % 4) return -1;
+          const int64_t nvals = (int64_t)plen / 4;
+          for (int64_t v = 0; v < nvals; ++v) {
+            if (count >= width) return -1;
+            float f;
+            std::memcpy(&f, inner + ip + 4 * v, 4);
+            out_f[count++] = (double)f;
+          }
+          ip += (int64_t)plen;
+        } else if (iwire == 5) {
+          if (count >= width) return -1;
+          float f;
+          std::memcpy(&f, inner + ip, 4);
+          ip += 4;
+          out_f[count++] = (double)f;
+        } else {
+          return -1;
+        }
+      } else {  // Int64List: packed varints or single varint
+        if (iwire == 2) {
+          uint64_t plen;
+          if (!read_varint(inner, isize, &ip, &plen)) return -1;
+          const int64_t pend = ip + (int64_t)plen;
+          if (pend > isize) return -1;
+          while (ip < pend) {
+            uint64_t v;
+            if (!read_varint(inner, isize, &ip, &v)) return -1;
+            if (count >= width) return -1;
+            out_i[count++] = (int64_t)v;
+          }
+        } else if (iwire == 0) {
+          uint64_t v;
+          if (!read_varint(inner, isize, &ip, &v)) return -1;
+          if (count >= width) return -1;
+          out_i[count++] = (int64_t)v;
+        } else {
+          return -1;
+        }
+      }
+    }
+  }
+  return count;
+}
+
+}  // namespace
+
+// Batch-parse n Example payloads into dense per-feature column buffers.
+//
+// Schema (nf features): names are a concatenated byte blob with nf+1
+// offsets; kinds[j]: 0 = int64 column (out int64), 1 = float column (out
+// float32); widths[j] = values per example. out_ptrs[j] points at a buffer
+// of n * widths[j] elements of the feature's dtype (caller passes
+// zero-initialized buffers). missing[i * nf + j] is set to 1 when record i
+// lacks feature j (caller applies defaults).
+//
+// Returns 0 on success, -(record_index + 1) on a malformed record.
+int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
+                       const int64_t* lengths, int64_t n,
+                       const uint8_t* names, const int64_t* name_offsets,
+                       const int32_t* kinds, const int64_t* widths,
+                       int64_t nf, void** out_ptrs, uint8_t* missing) {
+  // scratch for one feature's decoded values
+  int64_t max_w = 1;
+  for (int64_t j = 0; j < nf; ++j)
+    if (widths[j] > max_w) max_w = widths[j];
+  double* buf_f = new double[max_w];
+  int64_t* buf_i = new int64_t[max_w];
+
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* rec = data + offsets[i];
+    const int64_t rsize = lengths[i];
+    for (int64_t j = 0; j < nf; ++j) missing[i * nf + j] = 1;
+
+    int64_t pos = 0;
+    while (pos < rsize) {
+      uint64_t tag;
+      if (!read_varint(rec, rsize, &pos, &tag)) goto malformed;
+      {
+        const uint32_t field = (uint32_t)(tag >> 3);
+        const uint32_t wire = (uint32_t)(tag & 0x7);
+        uint64_t len;
+        if (wire != 2 || !read_varint(rec, rsize, &pos, &len)) goto malformed;
+        if (pos + (int64_t)len > rsize) goto malformed;
+        const uint8_t* feats = rec + pos;
+        const int64_t fsize = (int64_t)len;
+        pos += (int64_t)len;
+        if (field != 1) continue;  // not Example.features
+        // walk Features.feature map entries
+        int64_t fp = 0;
+        while (fp < fsize) {
+          uint64_t etag;
+          if (!read_varint(feats, fsize, &fp, &etag)) goto malformed;
+          uint64_t elen;
+          if ((etag & 0x7) != 2 ||
+              !read_varint(feats, fsize, &fp, &elen))
+            goto malformed;
+          if (fp + (int64_t)elen > fsize) goto malformed;
+          const uint8_t* entry = feats + fp;
+          const int64_t esize = (int64_t)elen;
+          fp += (int64_t)elen;
+          if ((etag >> 3) != 1) continue;
+          // map entry: key=1 string, value=2 Feature
+          const uint8_t* key = nullptr;
+          int64_t key_len = 0;
+          const uint8_t* fval = nullptr;
+          int64_t fval_len = 0;
+          int64_t ep = 0;
+          while (ep < esize) {
+            uint64_t mtag;
+            if (!read_varint(entry, esize, &ep, &mtag)) goto malformed;
+            uint64_t mlen;
+            if ((mtag & 0x7) != 2 ||
+                !read_varint(entry, esize, &ep, &mlen))
+              goto malformed;
+            if (ep + (int64_t)mlen > esize) goto malformed;
+            if ((mtag >> 3) == 1) {
+              key = entry + ep;
+              key_len = (int64_t)mlen;
+            } else if ((mtag >> 3) == 2) {
+              fval = entry + ep;
+              fval_len = (int64_t)mlen;
+            }
+            ep += (int64_t)mlen;
+          }
+          if (!key || !fval) continue;
+          // match against the schema (nf is small; linear scan)
+          for (int64_t j = 0; j < nf; ++j) {
+            const int64_t nlen = name_offsets[j + 1] - name_offsets[j];
+            if (nlen != key_len ||
+                std::memcmp(names + name_offsets[j], key, key_len) != 0)
+              continue;
+            const int32_t want = kinds[j] == 1 ? 2 : 3;
+            const int64_t got = decode_feature(fval, fval_len, widths[j],
+                                               want, buf_f, buf_i);
+            if (got != widths[j]) goto malformed;
+            if (kinds[j] == 1) {
+              float* out = (float*)out_ptrs[j] + i * widths[j];
+              for (int64_t v = 0; v < widths[j]; ++v)
+                out[v] = (float)buf_f[v];
+            } else {
+              int64_t* out = (int64_t*)out_ptrs[j] + i * widths[j];
+              for (int64_t v = 0; v < widths[j]; ++v) out[v] = buf_i[v];
+            }
+            missing[i * nf + j] = 0;
+            break;
+          }
+        }
+      }
+    }
+    continue;
+  malformed:
+    delete[] buf_f;
+    delete[] buf_i;
+    return -(i + 1);
+  }
+  delete[] buf_f;
+  delete[] buf_i;
+  return 0;
 }
 
 }  // extern "C"

