@@ -2,20 +2,25 @@
 
 The embedding plan places each (V, E) table row-sharded over the 'model'
 mesh axis (parallel/sharding.py). Lookups under pjit are handled by XLA's
-auto-collectives; this module provides the same operation as an EXPLICIT
-shard_map program — the deliberate TPU-native design from SURVEY §2.6 — so
-the communication pattern is visible, testable, and benchmarkable:
+auto-collectives; this module provides the same operation as EXPLICIT
+shard_map programs — the deliberate TPU-native design from SURVEY §2.6 — so
+the communication pattern is visible, testable, and benchmarkable. Two
+strategies:
 
+``sharded_lookup`` (replicated-compute + psum):
 - every device holds rows [d*V/n, (d+1)*V/n) of the table;
 - ids are data-sharded over the 'data' axis and replicated over 'model';
 - each device gathers the ids that fall in its row range (others contribute
   zeros) and a psum over 'model' assembles full rows.
+- ICI traffic: O(B * E * n_model) row-bytes enter the psum reduction.
 
-For CTR-sized id batches this replicated-compute + psum strategy moves
-O(B*E) bytes over ICI per step — the same volume an all-to-all exchange
-would move, with a fraction of the bookkeeping. An all-to-all variant
-(bucket ids per owner, exchange, gather locally, return) becomes profitable
-when B*E outgrows the id-dedup savings; planned as a follow-up.
+``sharded_lookup_a2a`` (bucket ids per owner -> all_to_all -> local gather
+-> all_to_all return -> unpermute; the BASELINE.json north-star exchange):
+- ICI traffic: O(B) id-bytes + O(B * E) row-bytes, INDEPENDENT of the
+  model-axis size — the asymptotically right pattern as meshes grow.
+- A fixed per-owner ``capacity`` bounds the exchange buffers (the standard
+  TPU-embedding capacity-factor design); with the default (capacity =
+  full local batch) the lookup is exact for any id skew.
 """
 from __future__ import annotations
 
@@ -62,6 +67,88 @@ def sharded_lookup(table, ids, mesh, model_axis="model", data_axis="data"):
         in_specs=(P(model_axis, None), P(data_axis)),
         out_specs=P(data_axis),
     )(table, ids)
+
+
+def sharded_lookup_a2a(table, ids, mesh, model_axis="model",
+                       data_axis="data", capacity=None):
+    """All-to-all row-sharded lookup (see module docstring).
+
+    table (V, E) row-sharded over ``model_axis``; ids data-sharded on axis
+    0 (replicated over ``model_axis``). The lookup work is model-parallel:
+    each model shard serves a 1/n_model slice of its data shard's ids, and
+    a final all_gather reassembles the batch. ``capacity`` bounds the
+    per-owner exchange bucket (default: the full per-shard id slice —
+    exact under any skew). Ids overflowing a bucket return ZERO rows (the
+    standard capacity-factor drop semantics; size capacity for your skew,
+    or leave the exact default).
+    Returns rows with shape ids.shape + (E,), data-sharded on axis 0.
+    """
+    V, E = table.shape
+    n_model = mesh.shape[model_axis]
+    if V % n_model != 0:
+        raise ValueError("vocab %d not divisible by model axis %d" % (V, n_model))
+    R = V // n_model
+
+    def local_lookup(table_shard, ids_shard):
+        m = jax.lax.axis_index(model_axis)
+        flat = jnp.clip(ids_shard.reshape(-1).astype(jnp.int32), 0, V - 1)
+        B = flat.shape[0]
+        # each model shard serves a 1/n_model slice of this data shard's ids
+        # (the lookup work itself is model-parallel, unlike the psum variant
+        # where every shard scans the full batch)
+        Bm = -(-B // n_model)
+        flat_p = jnp.concatenate(
+            [flat, jnp.zeros((Bm * n_model - B,), jnp.int32)]
+        ) if Bm * n_model != B else flat
+        my = jax.lax.dynamic_slice(flat_p, (m * Bm,), (Bm,))
+        C = Bm if capacity is None else int(capacity)
+        owner = my // R
+        order = jnp.argsort(owner, stable=True)
+        s_owner = owner[order]
+        s_ids = my[order]
+        pos = jnp.arange(Bm, dtype=jnp.int32)
+        # first position of each owner's run -> index within the bucket
+        bucket_start = jnp.searchsorted(s_owner, s_owner, side="left")
+        idx_in_bucket = pos - bucket_start.astype(jnp.int32)
+        ok = idx_in_bucket < C
+        slot = s_owner * C + idx_in_bucket
+        send_ids = jnp.full((n_model * C,), -1, jnp.int32).at[slot].set(
+            jnp.where(ok, s_ids, -1), mode="drop"
+        ).reshape(n_model, C)
+        # exchange: bucket j goes to owner shard j
+        recv_ids = jax.lax.all_to_all(send_ids, model_axis, 0, 0)
+        local_idx = recv_ids - m * R
+        valid = (recv_ids >= 0) & (local_idx >= 0) & (local_idx < R)
+        rows = jnp.take(table_shard, jnp.clip(local_idx, 0, R - 1).reshape(-1),
+                        axis=0).reshape(n_model, C, E)
+        rows = jnp.where(valid[..., None], rows, 0.0)
+        # return exchange: served rows go back to their requesting shard
+        back = jax.lax.all_to_all(rows, model_axis, 0, 0)
+        rows_flat = back.reshape(n_model * C, E)
+        got = jnp.where(ok[:, None], rows_flat[jnp.where(ok, slot, 0)], 0.0)
+        inv = jnp.zeros((Bm,), jnp.int32).at[order].set(pos)
+        mine = got[inv]  # (Bm, E), this shard's slice in original order
+        # assemble the full data-shard batch on every model shard — the
+        # all_gather also makes model-replication statically known
+        out = jax.lax.all_gather(mine, model_axis, axis=0, tiled=True)[:B]
+        return out.reshape(ids_shard.shape + (E,))
+
+    # the all_gather over model_axis makes the output replicated over
+    # 'model'; the static varying-axes analysis can't always infer that, so
+    # disable the check (semantics verified by tests/parallel_test.py)
+    try:
+        f = shard_map(
+            local_lookup, mesh=mesh,
+            in_specs=(P(model_axis, None), P(data_axis)),
+            out_specs=P(data_axis), check_vma=False,
+        )
+    except TypeError:  # older jax spells it check_rep
+        f = shard_map(
+            local_lookup, mesh=mesh,
+            in_specs=(P(model_axis, None), P(data_axis)),
+            out_specs=P(data_axis), check_rep=False,
+        )
+    return f(table, ids)
 
 
 def place_for_sharded_lookup(table, ids, mesh, model_axis="model",

@@ -87,3 +87,78 @@ def test_grad_flows_through_sharded_lookup(mesh):
     g_s = jax.grad(loss_sharded)(t_s)
     g_d = jax.grad(loss_dense)(table)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-5)
+
+
+def test_a2a_lookup_matches_dense(mesh):
+    from deepctr_tpu.parallel.sharded_lookup import sharded_lookup_a2a
+
+    rng = np.random.RandomState(3)
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (B,)).astype(np.int32))
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = sharded_lookup_a2a(t_s, i_s, mesh)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_a2a_lookup_skewed_ids_exact_with_default_capacity(mesh):
+    """Every id owned by ONE shard: worst-case skew stays exact."""
+    from deepctr_tpu.parallel.sharded_lookup import sharded_lookup_a2a
+
+    rng = np.random.RandomState(4)
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V // 2, (B,)).astype(np.int32))  # shard 0 only
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = sharded_lookup_a2a(t_s, i_s, mesh)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_a2a_lookup_2d_ids_and_oov_clip(mesh):
+    from deepctr_tpu.parallel.sharded_lookup import sharded_lookup_a2a
+
+    rng = np.random.RandomState(5)
+    V, E = 64, 8
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V + 20, (8, 5)).astype(np.int32))  # some OOV
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = sharded_lookup_a2a(t_s, i_s, mesh)
+    want = jnp.take(table, jnp.clip(ids, 0, V - 1), axis=0)
+    assert got.shape == (8, 5, E)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_a2a_capacity_overflow_returns_zero_rows(mesh):
+    from deepctr_tpu.parallel.sharded_lookup import sharded_lookup_a2a
+
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(np.ones((V, E), np.float32))
+    ids = jnp.zeros((B,), jnp.int32)  # all ids -> owner 0
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+    got = np.asarray(sharded_lookup_a2a(t_s, i_s, mesh, capacity=1))
+    # each data shard holds 4 ids, served 2-per-model-shard; capacity 1
+    # keeps 1 of each model shard's 2 -> 2 rows of ones + 2 dropped zeros
+    per_shard = got.reshape(4, 4, E)
+    assert (per_shard.sum(axis=(1, 2)) == 2 * E).all()
+
+
+def test_grad_flows_through_a2a_lookup(mesh):
+    from deepctr_tpu.parallel.sharded_lookup import sharded_lookup_a2a
+
+    rng = np.random.RandomState(6)
+    V, E, B = 64, 8, 16
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, V, (B,)).astype(np.int32))
+    t_s, i_s = place_for_sharded_lookup(table, ids, mesh)
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_lookup_a2a(t, i_s, mesh) ** 2)
+
+    def loss_dense(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+    g_s = jax.grad(loss_sharded)(t_s)
+    g_d = jax.grad(loss_dense)(table)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-5)
