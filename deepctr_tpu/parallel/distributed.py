@@ -36,3 +36,65 @@ def global_mesh(shape, axis_names=("data", "model")):
     from .mesh import make_mesh
 
     return make_mesh(shape, axis_names, jax.devices())
+
+
+def make_global_batch(mesh, *trees):
+    """Assemble global jax.Arrays from PROCESS-LOCAL batch shards.
+
+    Each process passes its local rows; the result is one global array per
+    leaf, sharded on axis 0 over the mesh's data axis (the multi-host
+    equivalent of the reference's between-graph replication where every
+    worker feeds its own input pipeline). Leaves must have equal local row
+    counts across processes.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+
+    def conv(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    out = tuple(jax.tree.map(conv, t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_state_globally(state, mesh):
+    """Turn host-identical TrainState leaves into global arrays placed by
+    the standard sharding rules (params row-sharded when divisible,
+    everything else replicated) across every process in the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .sharding import param_partition_spec
+
+    def place_params(path, leaf):
+        spec = param_partition_spec(path, leaf, mesh)
+        leaf = jax.device_get(leaf)  # host-identical on every process
+        return jax.make_array_from_callback(
+            leaf.shape, NamedSharding(mesh, spec),
+            lambda idx, _l=leaf: _l[idx],
+        )
+
+    import jax.tree_util as jtu
+
+    params = jtu.tree_map_with_path(place_params, state.params)
+
+    def replicate(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        host = jax.device_get(leaf)
+        return jax.make_array_from_callback(
+            host.shape, NamedSharding(mesh, P()),
+            lambda idx, _l=host: _l[idx],
+        )
+
+    model_state = jax.tree.map(replicate, state.model_state)
+    opt_state = jax.tree.map(replicate, state.opt_state)
+    embed_state = (jax.tree.map(replicate, state.embed_state)
+                   if state.embed_state is not None else None)
+    step = replicate(state.step)
+    return state.replace(params=params, model_state=model_state,
+                         opt_state=opt_state, embed_state=embed_state,
+                         step=step)

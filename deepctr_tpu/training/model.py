@@ -180,9 +180,11 @@ class CTRModel:
                 return leaf.astype(dtype) if is_table else leaf
 
             params = jax.tree_util.tree_map_with_path(cast_tables, params)
-        if self.mesh is not None:
+        if self.mesh is not None and not self._is_multiprocess():
             # Shard params BEFORE optimizer.init so optimizer slots (zeros_like)
-            # inherit the same shardings.
+            # inherit the same shardings. (Multi-process meshes place the
+            # whole TrainState globally after construction instead —
+            # device_put can't target non-addressable devices.)
             from ..parallel.sharding import replicate, shard_params
 
             params = shard_params(params, self.mesh)
@@ -205,6 +207,21 @@ class CTRModel:
             params=params, opt_state=opt_state, model_state=model_state,
             step=jnp.zeros((), jnp.int32), embed_state=embed_state,
         )
+        if self._is_multiprocess():
+            # every process ran the same seeded init -> leaves are
+            # host-identical; promote them to global arrays over the mesh
+            from ..parallel.distributed import replicate_state_globally
+
+            self.state = replicate_state_globally(self.state, self.mesh)
+
+    def _is_multiprocess(self) -> bool:
+        """True when the mesh spans multiple jax processes (multi-host
+        data-parallel fit: every process feeds its own local batch shard,
+        the reference's between-graph-replication contract,
+        /root/reference/README.md:27)."""
+        import jax as _jax
+
+        return self.mesh is not None and _jax.process_count() > 1
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -404,6 +421,12 @@ class CTRModel:
                         jax.profiler.stop_trace()
                         profiling = False
                 self._rng, step_rng = jax.random.split(self._rng)
+                if self._is_multiprocess():
+                    # xb/yb/wb are THIS process's local shard; assemble the
+                    # global batch (sharded over 'data' across all hosts)
+                    from ..parallel.distributed import make_global_batch
+
+                    xb, yb, wb = make_global_batch(self.mesh, xb, yb, wb)
                 self.state, loss, task_loss = self._train_step(
                     self.state, xb, yb, wb, step_rng
                 )
@@ -441,9 +464,23 @@ class CTRModel:
         if self._predict_step is None:
             self._predict_step = self._build_predict_step()
         outs = []
+        multiprocess = self._is_multiprocess()
         for xb, _, _, n_real in data_lib.iterate_batches(xc, None, None, batch_size):
-            out = self._predict_step(self.state.params, self.state.model_state, xb)
-            outs.append(np.asarray(out)[:n_real])
+            if multiprocess:
+                # x holds this process's local rows; the returned array
+                # covers the GLOBAL batch (gathered to every host)
+                from jax.experimental import multihost_utils
+
+                from ..parallel.distributed import make_global_batch
+
+                xb = make_global_batch(self.mesh, xb)
+                out = self._predict_step(self.state.params,
+                                         self.state.model_state, xb)
+                out = multihost_utils.process_allgather(out, tiled=True)
+                outs.append(np.asarray(out))
+            else:
+                out = self._predict_step(self.state.params, self.state.model_state, xb)
+                outs.append(np.asarray(out)[:n_real])
         return np.concatenate(outs, axis=0)
 
     def evaluate(self, x, y, batch_size=256, _already_canonical=False):
