@@ -229,20 +229,57 @@ class EmbeddingTables(nn.Module):
             return ids != 0
         return jnp.ones_like(ids, dtype=jnp.bool_)
 
+    def _fused_pool_eligible(self, fc):
+        """True when this varlen feature can take the Pallas fused
+        gather+pool kernel (ops/embedding.py): kernel enabled, plain
+        sum/mean/max combiner, supported table shape, and the rows are NOT
+        being served/planned by the sparse-update engine (whose hoisted
+        gathers must stay the single lookup funnel)."""
+        from .ops import embedding as fused
+
+        if not fused.fused_pool_enabled():
+            return False
+        if self.is_mutable_collection("gather_plan"):
+            return False
+        if self.has_variable("gathered", fc.name):
+            return False
+        feat = fc.sparsefeat
+        return fused.fused_pool_supported(
+            feat.vocabulary_size, feat.embedding_dim, fc.combiner,
+            fc.weight_name is not None,
+        )
+
     def pool_varlen(self, features, varlen_cols, to_list=False):
         """Pooled (B, 1, E) per varlen feature, grouped (reference
-        get_varlen_pooling_list, inputs.py:133-158)."""
+        get_varlen_pooling_list, inputs.py:133-158). Eligible features run
+        the fused Pallas gather+pool (the (B, T, E) intermediate never
+        exists); the rest gather then reduce."""
+        from .ops import embedding as fused
+
         group = defaultdict(list)
-        seq_embeds = self.varlen_lookup(features, varlen_cols)
+        fused_cols = [fc for fc in varlen_cols if self._fused_pool_eligible(fc)]
+        std_cols = [fc for fc in varlen_cols if fc not in fused_cols]
+        seq_embeds = self.varlen_lookup(features, std_cols)
         for fc in varlen_cols:
-            seq = seq_embeds[fc.name]
             mask = self.varlen_mask(features, fc)
-            if fc.weight_name is not None:
-                seq = weighted_sequence(
-                    seq, features[fc.weight_name], mask=mask,
-                    weight_normalization=fc.weight_norm,
+            if fc in fused_cols:
+                ids = features[fc.name].astype(jnp.int32)
+                pooled = fused.fused_gather_pool(
+                    self._table_raw(fc.sparsefeat), ids, mask,
+                    combiner=fc.combiner,
+                    interpret=fused.fused_pool_interpret(),
                 )
-            vec = sequence_pooling(seq, fc.combiner, mask=mask)
+                if pooled.dtype != jnp.float32:
+                    pooled = pooled.astype(jnp.float32)
+                vec = pooled[:, None, :]
+            else:
+                seq = seq_embeds[fc.name]
+                if fc.weight_name is not None:
+                    seq = weighted_sequence(
+                        seq, features[fc.weight_name], mask=mask,
+                        weight_normalization=fc.weight_norm,
+                    )
+                vec = sequence_pooling(seq, fc.combiner, mask=mask)
             group[fc.group_name].append(vec)
         if to_list:
             return list(chain.from_iterable(group.values()))

@@ -2,20 +2,28 @@
 
 The hot op of every CTR model is the embedding path (SURVEY §2.1/§7): for a
 varlen feature the reference materializes the gathered (B, T, E) sequence in
-HBM and then reduces it (two passes). This kernel fuses both: rows stream
-from the HBM table straight into a VMEM accumulator — the (B, T, E)
-intermediate never exists.
+HBM and then reduces it (two passes — deepctr/inputs.py:133-158). This
+kernel fuses both: rows stream from the HBM table straight into a VMEM
+accumulator — the (B, T, E) intermediate never exists.
 
 Mechanics (the canonical scalar-prefetch gather pattern):
-- ids (B*T,) arrive as a scalar-prefetch operand, so the table BlockSpec's
-  index_map can address row ``ids[b*T + t]`` while the grid walks (b, t).
-- the output block is revisited for all t of one b; a @pl.when t==0 arm
-  initializes the accumulator, later steps accumulate the masked row.
+- per-(b, t) element the kernel DMAs ONE 128-lane table line HBM->VMEM,
+  addressed by scalars from an SMEM id tile;
+- **small-E lane packing**: for E < 128 with 128 % E == 0 the (V, E) table
+  is viewed as (V*E/128, 128) lines (free reshape) holding k = 128/E rows
+  each; the needed row is selected in VMEM with a one-hot contraction over
+  the k sublane groups. This makes every DMA a full 128-lane transfer at
+  any real CTR embedding dim (16, 32, ...), instead of excluding them;
 - combiner sum/mean/max matches sequence_pooling (layers/sequence.py:44-61).
 
 ``fused_gather_pool`` wraps the kernel in a custom_vjp whose backward
 scatter-adds pooled cotangents into the table, so it is a drop-in training
 op. Use ``interpret=True`` on CPU (tests) — compiled mode on TPU.
+
+Integration: ``set_fused_gather_pool(True)`` (or
+``CTRModel.compile(..., fused_gather_pool=True)``) routes every eligible
+``EmbeddingTables.pool_varlen`` feature (sum/mean/max combiner, no
+weight_name) through this kernel; everything else keeps the XLA path.
 """
 from __future__ import annotations
 
@@ -30,32 +38,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TILE_B = 8  # sublane granularity for the output tile
 
+# process-wide funnel switch (see module docstring)
+_FUSED_POOL = {"enabled": False, "interpret": False}
 
-def _pool_kernel(ids_ref, mask_ref, table_ref, out_ref, scratch, sems, *,
-                 T, combiner):
-    # ids_ref is this tile's (TILE_B, T) id block in SMEM — scalar reads
-    # from it drive the per-row DMA addressing.
-    def row_dma(k):
-        row_id = ids_ref[k // T, k % T]
+
+def set_fused_gather_pool(enabled: bool, interpret: bool = False):
+    """Enable/disable the fused gather+pool path inside EmbeddingTables."""
+    _FUSED_POOL["enabled"] = bool(enabled)
+    _FUSED_POOL["interpret"] = bool(interpret)
+
+
+def fused_pool_enabled():
+    return _FUSED_POOL["enabled"]
+
+
+def fused_pool_interpret():
+    return _FUSED_POOL["interpret"]
+
+
+def fused_pool_supported(V: int, E: int, combiner: str, weighted: bool) -> bool:
+    if weighted or combiner not in ("sum", "mean", "max"):
+        return False
+    if E % 128 == 0:
+        return True
+    return 128 % E == 0 and (V * E) % 128 == 0
+
+
+def _pool_kernel(ids_ref, slot_ref, mask_ref, table_ref, out_ref, scratch,
+                 sems, *, T, k, E, combiner):
+    """One grid step pools _TILE_B examples.
+
+    ids_ref is this tile's (TILE_B, T) LINE-id block in SMEM — scalar reads
+    drive the per-line DMA addressing. slot_ref (VMEM) carries each
+    element's sub-line row index (0 when k == 1).
+    """
+    def line_dma(j):
+        line_id = ids_ref[j // T, j % T]
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(row_id, 1), :],
-            scratch.at[pl.ds(k, 1), :],
-            sems.at[k],
+            table_ref.at[pl.ds(line_id, 1), :],
+            scratch.at[pl.ds(j, 1), :],
+            sems.at[j],
         )
 
-    def start_dma(k, _):
-        row_dma(k).start()
+    def start_dma(j, _):
+        line_dma(j).start()
         return 0
 
     jax.lax.fori_loop(0, _TILE_B * T, start_dma, 0)
 
-    def wait_dma(k, _):
-        row_dma(k).wait()
+    def wait_dma(j, _):
+        line_dma(j).wait()
         return 0
 
     jax.lax.fori_loop(0, _TILE_B * T, wait_dma, 0)
 
-    rows = scratch[:].reshape(_TILE_B, T, -1)
+    if k == 1:
+        rows = scratch[:].reshape(_TILE_B, T, E)
+    else:
+        # select each element's row from its line: one-hot over the k
+        # sub-line groups (VPU contraction; no dynamic sublane indexing)
+        lines = scratch[:].reshape(_TILE_B, T, k, E)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (_TILE_B, T, k), 2)
+        onehot = (sel == slot_ref[:][:, :, None]).astype(lines.dtype)
+        rows = jnp.sum(lines * onehot[:, :, :, None], axis=2)
     m = mask_ref[:][:, :, None]  # (TILE_B, T, 1)
     if combiner == "max":
         out_ref[:] = jnp.max(jnp.where(m > 0, rows, -1e9), axis=1)
@@ -65,46 +110,67 @@ def _pool_kernel(ids_ref, mask_ref, table_ref, out_ref, scratch, sems, *,
 
 def _gather_pool_fwd_pallas(table, ids, mask, combiner, interpret):
     B, T = ids.shape
-    V, E_in = table.shape
-    # Mosaic DMA slices must be 128-lane aligned: pad the embedding dim.
-    # (For E >= 128 multiples this is free; for small E prefer the XLA path.)
-    pad_e = (-E_in) % 128 if not interpret else 0
-    if pad_e:
-        table = jnp.pad(table, ((0, 0), (0, pad_e)))
-    E = E_in + pad_e
+    V, E = table.shape
+    if E % 128 == 0:
+        k = 1
+        lines = table.reshape(V * (E // 128), 128) if E != 128 else table
+        # E > 128: each row is m consecutive lines — handled by splitting
+        # the feature dim into m independent 128-wide pools
+        if E > 128:
+            m = E // 128
+            parts = [
+                _gather_pool_fwd_pallas(
+                    table[:, i * 128:(i + 1) * 128], ids, mask, combiner,
+                    interpret)
+                for i in range(m)
+            ]
+            return jnp.concatenate(parts, axis=1)
+        lines_E = 128
+    else:
+        if not (128 % E == 0 and (V * E) % 128 == 0):
+            return reference_gather_pool(table, ids, mask, combiner)
+        k = 128 // E
+        lines = table.reshape(V * E // 128, 128)
+        lines_E = 128
+    Vl = lines.shape[0]
+
     pad_b = (-B) % _TILE_B
     maskf = mask.astype(jnp.float32).reshape(B, T)
+    ids_c = jnp.clip(ids.astype(jnp.int32), 0, V - 1)  # clip parity
     if pad_b:
-        ids = jnp.concatenate([ids, jnp.zeros((pad_b, T), ids.dtype)], axis=0)
+        ids_c = jnp.concatenate([ids_c, jnp.zeros((pad_b, T), jnp.int32)], axis=0)
         maskf = jnp.concatenate([maskf, jnp.zeros((pad_b, T), jnp.float32)], axis=0)
     Bp = B + pad_b
-    # mode="clip" parity with every other lookup path: OOV ids clamp
-    # (also keeps the kernel's row DMAs in bounds)
-    ids_i32 = jnp.clip(ids.astype(jnp.int32), 0, V - 1)
+    line_ids = ids_c // k if k > 1 else ids_c
+    slots = (ids_c % k) if k > 1 else jnp.zeros_like(ids_c)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(Bp // _TILE_B,),
         in_specs=[
-            # per-tile id block in SMEM: scalars drive DMA addressing
+            # per-tile line-id block in SMEM: scalars drive DMA addressing
             pl.BlockSpec((_TILE_B, T), lambda b: (b, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE_B, T), lambda b: (b, 0)),  # slots (VMEM)
             pl.BlockSpec((_TILE_B, T), lambda b: (b, 0)),  # mask tile (VMEM)
-            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table lines stay in HBM
         ],
-        out_specs=pl.BlockSpec((_TILE_B, E), lambda b: (b, 0)),
+        out_specs=pl.BlockSpec((_TILE_B, E if k > 1 else lines_E),
+                               lambda b: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_B * T, E), table.dtype),
+            pltpu.VMEM((_TILE_B * T, 128), table.dtype),
             pltpu.SemaphoreType.DMA((_TILE_B * T,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_pool_kernel, T=T, combiner=combiner),
+        functools.partial(_pool_kernel, T=T, k=k,
+                          E=E if k > 1 else lines_E, combiner=combiner),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, E), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, E if k > 1 else lines_E),
+                                       table.dtype),
         interpret=interpret,
-    )(ids_i32, maskf, table)
-    out = out[:B, :E_in]
+    )(line_ids, slots, maskf, lines)
+    out = out[:B, :E]
 
     if combiner == "mean":
         denom = jnp.sum(mask.astype(jnp.float32).reshape(B, T), axis=1,

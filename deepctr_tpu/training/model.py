@@ -96,7 +96,8 @@ class CTRModel:
     # ------------------------------------------------------------------
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
-                embedding_dtype=None, pallas_scatter_updates=False):
+                embedding_dtype=None, pallas_scatter_updates=False,
+                fused_gather_pool=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -126,6 +127,15 @@ class CTRModel:
         self.embedding_lr = embedding_lr
         self.embedding_dtype = embedding_dtype
         self.pallas_scatter_updates = pallas_scatter_updates
+        if fused_gather_pool is not None:
+            # process-wide switch: varlen pooling through the Pallas fused
+            # gather+pool kernel (ops/embedding.py) wherever eligible
+            from ..ops.embedding import set_fused_gather_pool
+
+            set_fused_gather_pool(
+                fused_gather_pool,
+                interpret=jax.default_backend() == "cpu",
+            )
         self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
         self._predict_step = None
