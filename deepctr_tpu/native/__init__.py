@@ -59,6 +59,8 @@ def get_lib():
             ctypes.c_int, ctypes.c_void_p,
         ]
         lib.fnv1a64_bucket.restype = None
+        lib.farmhash64_bucket.argtypes = lib.fnv1a64_bucket.argtypes
+        lib.farmhash64_bucket.restype = None
         lib.tfrecord_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
@@ -74,9 +76,12 @@ def get_lib():
         return _lib
 
 
-def hash_strings(strings, num_buckets: int, mask_zero: bool = False):
-    """Vectorized FNV-1a bucket hashing of a 1-D sequence of strings.
+def hash_strings(strings, num_buckets: int, mask_zero: bool = False,
+                 algorithm: str = "farmhash"):
+    """Vectorized bucket hashing of a 1-D sequence of strings.
 
+    ``algorithm="farmhash"`` is bit-identical to TF Fingerprint64 /
+    to_hash_bucket_fast; ``"fnv"`` is the legacy FNV-1a assignment.
     Returns int32 buckets, or None if the native library is unavailable.
     """
     lib = get_lib()
@@ -90,7 +95,8 @@ def hash_strings(strings, num_buckets: int, mask_zero: bool = False):
     blob = b"".join(encoded)
     data = np.frombuffer(blob, np.uint8) if blob else np.zeros(0, np.uint8)
     out = np.empty(n, np.int32)
-    lib.fnv1a64_bucket(
+    fn = lib.farmhash64_bucket if algorithm == "farmhash" else lib.fnv1a64_bucket
+    fn(
         data.ctypes.data if n else 0, offsets.ctypes.data, n, num_buckets,
         1 if mask_zero else 0, out.ctypes.data,
     )

@@ -73,6 +73,167 @@ int64_t tfrecord_scan(const uint8_t* data, int64_t size, int64_t* out_off,
   return count;
 }
 
+// --------------------------- FarmHash64 --------------------------------
+// Reimplementation of the public FarmHash64 ("na") algorithm — the
+// function behind TF's Fingerprint64 / tf.strings.to_hash_bucket_fast
+// (reference layers/utils.py:89-112). Bit-exactness vs the installed TF is
+// covered by tests/hashing_test.py.
+
+namespace {
+
+constexpr uint64_t kF0 = 0xC3A5C85C97CB3127ULL;
+constexpr uint64_t kF1 = 0xB492B66FBE98F273ULL;
+constexpr uint64_t kF2 = 0x9AE16A3B2F90404FULL;
+
+inline uint64_t frot(uint64_t v, int s) {
+  return s == 0 ? v : (v >> s) | (v << (64 - s));
+}
+inline uint64_t ff64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (matches tfrecord_scan)
+}
+inline uint64_t ff32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint64_t fsmix(uint64_t v) { return v ^ (v >> 47); }
+inline uint64_t fh16(uint64_t u, uint64_t v, uint64_t mul) {
+  uint64_t a = (u ^ v) * mul;
+  a ^= a >> 47;
+  uint64_t b = (v ^ a) * mul;
+  b ^= b >> 47;
+  return b * mul;
+}
+
+inline uint64_t fh0to16(const uint8_t* s, int64_t n) {
+  if (n >= 8) {
+    uint64_t mul = kF2 + (uint64_t)n * 2;
+    uint64_t a = ff64(s) + kF2;
+    uint64_t b = ff64(s + n - 8);
+    uint64_t c = frot(b, 37) * mul + a;
+    uint64_t d = (frot(a, 25) + b) * mul;
+    return fh16(c, d, mul);
+  }
+  if (n >= 4) {
+    uint64_t mul = kF2 + (uint64_t)n * 2;
+    uint64_t a = ff32(s);
+    return fh16((uint64_t)n + (a << 3), ff32(s + n - 4), mul);
+  }
+  if (n > 0) {
+    uint64_t a = s[0], b = s[n >> 1], c = s[n - 1];
+    uint64_t y = a + (b << 8);
+    uint64_t z = (uint64_t)n + (c << 2);
+    return fsmix(y * kF2 ^ z * kF0) * kF2;
+  }
+  return kF2;
+}
+
+inline uint64_t fh17to32(const uint8_t* s, int64_t n) {
+  uint64_t mul = kF2 + (uint64_t)n * 2;
+  uint64_t a = ff64(s) * kF1;
+  uint64_t b = ff64(s + 8);
+  uint64_t c = ff64(s + n - 8) * mul;
+  uint64_t d = ff64(s + n - 16) * kF2;
+  return fh16(frot(a + b, 43) + frot(c, 30) + d,
+              a + frot(b + kF2, 18) + c, mul);
+}
+
+inline uint64_t fh33to64(const uint8_t* s, int64_t n) {
+  uint64_t mul = kF2 + (uint64_t)n * 2;
+  uint64_t a = ff64(s) * kF2;
+  uint64_t b = ff64(s + 8);
+  uint64_t c = ff64(s + n - 8) * mul;
+  uint64_t d = ff64(s + n - 16) * kF2;
+  uint64_t y = frot(a + b, 43) + frot(c, 30) + d;
+  uint64_t z = fh16(y, a + frot(b + kF2, 18) + c, mul);
+  uint64_t e = ff64(s + 16) * mul;
+  uint64_t f = ff64(s + 24);
+  uint64_t g = (y + ff64(s + n - 32)) * mul;
+  uint64_t h = (z + ff64(s + n - 24)) * mul;
+  return fh16(frot(e + f, 43) + frot(g, 30) + h,
+              e + frot(f + a, 18) + g, mul);
+}
+
+inline void fweak(const uint8_t* s, uint64_t a, uint64_t b, uint64_t* o0,
+                  uint64_t* o1) {
+  uint64_t w = ff64(s), x = ff64(s + 8), y = ff64(s + 16), z = ff64(s + 24);
+  a += w;
+  b = frot(b + a + z, 21);
+  uint64_t c = a;
+  a += x + y;
+  b += frot(a, 44);
+  *o0 = a + z;
+  *o1 = b + c;
+}
+
+inline uint64_t farmhash64(const uint8_t* s, int64_t n) {
+  if (n <= 16) return fh0to16(s, n);
+  if (n <= 32) return fh17to32(s, n);
+  if (n <= 64) return fh33to64(s, n);
+  const uint64_t seed = 81;
+  uint64_t x = seed;
+  uint64_t y = seed * kF1 + 113;
+  uint64_t z = fsmix(y * kF2 + 113) * kF2;
+  uint64_t v0 = 0, v1 = 0, w0 = 0, w1 = 0;
+  x = x * kF2 + ff64(s);
+  const uint8_t* end = s + ((n - 1) / 64) * 64;
+  const uint8_t* last64 = end + ((n - 1) & 63) - 63;
+  do {
+    x = frot(x + y + v0 + ff64(s + 8), 37) * kF1;
+    y = frot(y + v1 + ff64(s + 48), 42) * kF1;
+    x ^= w1;
+    y += v0 + ff64(s + 40);
+    z = frot(z + w0, 33) * kF1;
+    fweak(s, v1 * kF1, x + w0, &v0, &v1);
+    fweak(s + 32, z + w1, y + ff64(s + 16), &w0, &w1);
+    uint64_t t = z;
+    z = x;
+    x = t;
+    s += 64;
+  } while (s != end);
+  uint64_t mul = kF1 + ((z & 0xFF) << 1);
+  s = last64;
+  w0 += (uint64_t)((n - 1) & 63);
+  v0 += w0;
+  w0 += v0;
+  x = frot(x + y + v0 + ff64(s + 8), 37) * mul;
+  y = frot(y + v1 + ff64(s + 48), 42) * mul;
+  x ^= w1 * 9;
+  y += v0 * 9 + ff64(s + 40);
+  z = frot(z + w0, 33) * mul;
+  fweak(s, v1 * mul, x + w0, &v0, &v1);
+  fweak(s + 32, z + w1, y + ff64(s + 16), &w0, &w1);
+  uint64_t t = z;
+  z = x;
+  x = t;
+  return fh16(fh16(v0, w0, mul) + fsmix(y) * kF0 + z,
+              fh16(v1, w1, mul) + x, mul);
+}
+
+}  // namespace
+
+// Vectorized string -> bucket via FarmHash64 (TF Fingerprint64 parity);
+// same row/offset layout and mask_zero semantics as fnv1a64_bucket.
+void farmhash64_bucket(const uint8_t* data, const int64_t* offsets,
+                       int64_t n, int64_t num_buckets, int mask_zero,
+                       int32_t* out) {
+  const int64_t buckets = mask_zero ? num_buckets - 1 : num_buckets;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = data + offsets[i];
+    const int64_t len = offsets[i + 1] - offsets[i];
+    uint64_t h = farmhash64(p, len);
+    int64_t b = (int64_t)(h % (uint64_t)buckets);
+    if (mask_zero) {
+      const bool is_zero = (len == 1 && p[0] == '0');
+      out[i] = is_zero ? 0 : (int32_t)(b + 1);
+    } else {
+      out[i] = (int32_t)b;
+    }
+  }
+}
+
 // ------------------- tf.train.Example batch parsing -------------------
 //
 // Wire format (proto3 subset actually used by Example):

@@ -20,7 +20,7 @@ def lib():
 
 def test_native_hash_matches_python(lib):
     strings = ["lake", "merson", "0", "", "a" * 100, "日本語"]
-    out = native.hash_strings(strings, 97, mask_zero=False)
+    out = native.hash_strings(strings, 97, mask_zero=False, algorithm="fnv")
     want = [fnv1a_64(s.encode("utf-8")) % 97 for s in strings]
     np.testing.assert_array_equal(out, want)
 
