@@ -83,6 +83,7 @@ class CTRModel:
         self.embedding_lr = 0.01
         self.embedding_dtype = None
         self.pallas_scatter_updates = False
+        self.bf16_stochastic_rounding = False
         self._gather_plan = None
         self.history = History()
         self._train_step = None
@@ -97,7 +98,7 @@ class CTRModel:
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
                 embedding_dtype=None, pallas_scatter_updates=False,
-                fused_gather_pool=None):
+                fused_gather_pool=None, bf16_stochastic_rounding=False):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -127,6 +128,17 @@ class CTRModel:
         self.embedding_lr = embedding_lr
         self.embedding_dtype = embedding_dtype
         self.pallas_scatter_updates = pallas_scatter_updates
+        if bf16_stochastic_rounding and embedding_dtype != "bfloat16":
+            raise ValueError(
+                "bf16_stochastic_rounding requires embedding_dtype='bfloat16'"
+            )
+        if bf16_stochastic_rounding and not sparse_embedding_updates:
+            raise ValueError(
+                "bf16_stochastic_rounding requires sparse_embedding_updates="
+                "True (rounded read-modify-write happens in the sparse "
+                "engine's scatter)"
+            )
+        self.bf16_stochastic_rounding = bf16_stochastic_rounding
         if fused_gather_pool is not None:
             # process-wide switch: varlen pooling through the Pallas fused
             # gather+pool kernel (ops/embedding.py) wherever eligible
@@ -323,6 +335,7 @@ class CTRModel:
         plan = self._gather_plan
         embedding_lr = self.embedding_lr
         use_pallas = self.pallas_scatter_updates
+        use_sr = self.bf16_stochastic_rounding
         mesh = self.mesh
 
         def train_step(state: TrainState, xb, yb, wb, rng):
@@ -358,6 +371,7 @@ class CTRModel:
             new_tables, new_embed = se.apply_sparse_updates(
                 tables, state.embed_state, g_rows, xb, plan,
                 learning_rate=embedding_lr, use_pallas=use_pallas,
+                sr_key=jax.random.fold_in(rng, 1) if use_sr else None,
             )
             new_params = se.merge_tables(new_dense, new_tables)
 

@@ -202,9 +202,34 @@ def _batched_rowwise_adagrad(ids_b, grads_b, accs, lr, eps):
     return uids, update, a_new
 
 
-def _scatter_into(table, acc, uids, update, a_new, use_pallas, interpret):
-    """Apply one table's (sorted, V-padded) row updates + acc writes."""
-    if use_pallas:
+def stochastic_round_bf16(x, key):
+    """Unbiased f32 -> bf16 rounding: add uniform bits below the bf16
+    mantissa cut, then truncate (the standard SR-to-bf16 construction;
+    E[result] == x up to representable range)."""
+    bits = jax.random.bits(key, x.shape, jnp.uint32)
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    v = (u + (bits & jnp.uint32(0xFFFF))) >> 16
+    return jax.lax.bitcast_convert_type(v.astype(jnp.uint16), jnp.bfloat16)
+
+
+def _scatter_into(table, acc, uids, update, a_new, use_pallas, interpret,
+                  sr_key=None):
+    """Apply one table's (sorted, V-padded) row updates + acc writes.
+
+    ``sr_key`` (with a bf16 table) switches the write to read-modify-write
+    with stochastic rounding: new_row = SR_bf16(f32(old_row) + update) —
+    tiny per-step deltas survive instead of being truncated away (the
+    classic low-precision-training failure for embedding tables).
+    """
+    if sr_key is not None and table.dtype == jnp.bfloat16:
+        valid = (uids >= 0) & (uids < table.shape[0])
+        safe = jnp.where(valid, uids, 0)
+        old = jnp.take(table, safe, axis=0).astype(jnp.float32)
+        rounded = stochastic_round_bf16(old + update, sr_key)
+        rounded = jnp.where(valid[:, None], rounded, table[safe])
+        table = table.at[uids].set(rounded, mode="drop",
+                                   indices_are_sorted=True)
+    elif use_pallas:
         from ..ops.scatter import scatter_add_rows
 
         # out-of-range uids (padding) are skipped by the kernel contract
@@ -230,8 +255,9 @@ def _rowwise_adagrad_scatter(table, acc, ids, grads, lr, eps,
 
 def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
                          learning_rate=0.01, eps=1e-10, use_pallas=False,
-                         interpret=False):
-    """Scatter row-sparse updates into every planned table."""
+                         interpret=False, sr_key=None):
+    """Scatter row-sparse updates into every planned table. ``sr_key``
+    enables stochastic-rounded writes into bf16 tables (_scatter_into)."""
     grads_flat = flatten_dict(rows_grads)
     per_table: Dict[Tuple[str, ...], list] = defaultdict(list)
     for entry in plan:
@@ -258,16 +284,18 @@ def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
         groups[(ids_all.shape[0], V, E)].append(path)
     new_tables = dict(tables)
     new_state = dict(embed_state)
-    for key in sorted(groups):
+    for gi, key in enumerate(sorted(groups)):
         paths = sorted(groups[key])
         ids_b = jnp.stack([concatd[p][0] for p in paths])
         g_b = jnp.stack([concatd[p][1] for p in paths])
         uids_b, upd_b, anew_b = _batched_rowwise_adagrad(
             ids_b, g_b, [embed_state[p] for p in paths], learning_rate, eps
         )
+        keys = (jax.random.split(jax.random.fold_in(sr_key, gi), len(paths))
+                if sr_key is not None else [None] * len(paths))
         for t, path in enumerate(paths):
             new_tables[path], new_state[path] = _scatter_into(
                 tables[path], embed_state[path], uids_b[t], upd_b[t],
-                anew_b[t], use_pallas, interpret,
+                anew_b[t], use_pallas, interpret, sr_key=keys[t],
             )
     return new_tables, new_state
