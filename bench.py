@@ -68,11 +68,38 @@ def main():
     dt = time.perf_counter() - t0
 
     examples_per_s = BATCH * STEPS / dt
+
+    # ---- HBM roofline, self-measured in THIS window -------------------
+    # Stream bandwidth: chained elementwise pass over a 512 MB buffer
+    # (read + write), so the denominator reflects the live machine, not a
+    # datasheet (step timings on this backend swing with service state).
+    buf = jnp.zeros((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    stream = jax.jit(lambda b: b * 1.0000001 + 1e-12)
+    buf = stream(buf)
+    jax.block_until_ready(buf)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        buf = stream(buf)
+    jax.block_until_ready(buf)
+    hbm_gbps = 20 * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9
+
+    # Traffic model per step (the workload is HBM-bound on table traffic):
+    #   dense f32 table grads: write + read          2 * 26*100k*16*4 B
+    #   bf16 table params: read + write              2 * 26*100k*16*2 B
+    #   adagrad row accumulators: read + write       2 * 26*100k*4 B
+    #   per-example activations/lookup rows (~5 KB)  BATCH * 5e3 B
+    table_elems = 26 * 100_000 * 16
+    bytes_per_step = (2 * table_elems * 4 + 2 * table_elems * 2 +
+                      2 * 26 * 100_000 * 4 + BATCH * 5e3)
+    roofline_examples_per_s = BATCH * hbm_gbps * 1e9 / bytes_per_step
     print(json.dumps({
         "metric": "deepfm_criteo_train_examples_per_s_per_chip",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": None,
+        "hbm_stream_gbps": round(hbm_gbps, 1),
+        "roofline_examples_per_s": round(roofline_examples_per_s, 1),
+        "roofline_fraction": round(examples_per_s / roofline_examples_per_s, 3),
     }))
 
 

@@ -138,8 +138,11 @@ def test_din_auc_parity_with_reference():
               verbose=0)
     p = model.predict(x, batch_size=64)
     auc = roc_auc_score(y, p)
-    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
-        "DIN: our AUC %.4f vs reference golden %.4f" % (auc, golden["train_auc"])
+    tol = golden.get("tolerance", AUC_TOLERANCE)
+    assert auc >= golden["train_auc"] - tol, (
+        "DIN: our AUC %.4f vs reference golden %.4f (tol %.3f, mean of %d "
+        "seeds)" % (auc, golden["train_auc"], tol,
+                    len(golden.get("seed_runs", [1])))
     )
 
 
@@ -183,8 +186,8 @@ def test_bst_auc_parity_with_reference():
     model.fit(x, y, batch_size=golden["batch_size"], epochs=golden["epochs"],
               verbose=0)
     auc = roc_auc_score(y, model.predict(x, batch_size=64))
-    # the BST golden is the mean over reference seeds and carries its own
-    # variance-derived tolerance (no double discounting)
+    # the sequence goldens are means over 5 reference seeds
+    # (tools/gen_seq_goldens_ref.py) with variance-derived tolerances
     tol = golden.get("tolerance", AUC_TOLERANCE)
     assert auc >= golden["train_auc"] - tol, (
         "BST: our AUC %.4f vs golden %.4f (tol %.3f)"
@@ -245,8 +248,10 @@ def test_dsin_auc_parity_with_reference():
     model.fit(x2, y2, batch_size=golden["batch_size"], epochs=golden["epochs"],
               verbose=0)
     auc = roc_auc_score(y2, model.predict(x2, batch_size=64))
-    assert auc >= golden["train_auc"] - AUC_TOLERANCE, (
-        "DSIN: our AUC %.4f vs golden %.4f" % (auc, golden["train_auc"])
+    tol = golden.get("tolerance", AUC_TOLERANCE)
+    assert auc >= golden["train_auc"] - tol, (
+        "DSIN: our AUC %.4f vs golden %.4f (tol %.3f, mean of %d seeds)"
+        % (auc, golden["train_auc"], tol, len(golden.get("seed_runs", [1])))
     )
 
 
