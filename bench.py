@@ -60,6 +60,11 @@ def main():
     state = model.state
     state, loss, _ = train_step(state, xb, yb, wb, key)
     jax.block_until_ready(loss)
+    # Force the client into synchronous (honest) mode: on the axon backend,
+    # block_until_ready does NOT actually wait until the process has done
+    # one device->host read — pre-read timings are dispatch-only fantasy
+    # (measured "82 PFLOP/s"; see CLAUDE.md round-2 notes).
+    _ = float(jnp.asarray(loss).reshape(-1)[0])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):

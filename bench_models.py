@@ -71,6 +71,8 @@ def _measure(model, cols, x, batch, steps=30):
     state = model.state
     state, loss, _ = train_step(state, xb, yb, wb, key)
     jax.block_until_ready(loss)
+    # force honest sync mode (axon: pre-first-D2H timings are fantasy)
+    _ = float(jnp.asarray(loss).reshape(-1)[0])
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss, _ = train_step(state, xb, yb, wb, key)

@@ -67,12 +67,27 @@ def discover_plan(module, variables, sample_batch) -> List[PlanEntry]:
     Tables that model code reads DIRECTLY (EmbeddingTables._table outside
     the lookup funnel, e.g. DSIN's session gathers) are excluded — their
     gradients cannot be hoisted, so they stay on the dense path.
+
+    The pass runs ON THE HOST CPU: the plan is pure metadata, and
+    executing this tiny instrumented program on the axon TPU backend was
+    measured to permanently degrade every subsequent execution in the
+    process by ~20x (engine update 0.67ms -> 13.5ms; bisected to exactly
+    this call — see CLAUDE.md round-2 notes). Params round-trip through
+    host memory once at build time.
     """
-    _, mutated = module.apply(
-        variables, sample_batch, training=False,
-        mutable=["gather_plan", "losses", "batch_stats"],
-        rngs={"dropout": jax.random.PRNGKey(0)},
+    cpu = jax.local_devices(backend="cpu")[0]
+    variables = jax.tree.map(
+        lambda x: np.asarray(jax.device_get(x)) if hasattr(x, "shape") else x,
+        variables,
     )
+    sample_batch = {k: np.asarray(jax.device_get(v))
+                    for k, v in sample_batch.items()}
+    with jax.default_device(cpu):
+        _, mutated = module.apply(
+            variables, sample_batch, training=False,
+            mutable=["gather_plan", "losses", "batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
     plan: List[PlanEntry] = []
     direct_tables = set()
     flat = flatten_dict(mutated.get("gather_plan", {}))
