@@ -87,6 +87,8 @@ class CTRModel:
         self._gather_plan = None
         self.history = History()
         self._train_step = None
+        self._multi_train_step = None
+        self._multi_k = 0
         self._predict_step = None
         self._rng = jax.random.PRNGKey(seed)
         # set by model factories for save_model/load_model round-trips
@@ -150,6 +152,8 @@ class CTRModel:
             )
         self._gather_plan = None
         self._train_step = None  # force re-trace with the new optimizer
+        self._multi_train_step = None
+        self._multi_k = 0
         self._predict_step = None
         if self.state is not None:
             # re-compile on a built model: keep the learned params but
@@ -282,9 +286,36 @@ class CTRModel:
             total = total + lw * li
         return total, per_task
 
-    def _build_train_step(self):
+    def _build_multi_train_step(self, steps_per_execution: int):
+        """Scan ``steps_per_execution`` train steps inside ONE compiled
+        call over stacked batches (Keras steps_per_execution parity).
+        Amortizes per-call dispatch — decisive on dispatch-bound setups
+        (the axon tunnel charges ~1-2 ms per execution) and harmless
+        elsewhere. Returns fn(state, xK, yK, wK, rng) -> (state, losses,
+        task_losses) with (K, ...) stacked inputs."""
+        import jax.lax as lax
+
+        raw = self._train_step_fn()
+
+        def multi_step(state: TrainState, xK, yK, wK, rng):
+            rngs = jax.random.split(rng, steps_per_execution)
+
+            def body(st, inp):
+                xb, yb, wb, r = inp
+                st, loss, task_loss = raw(st, xb, yb, wb, r)
+                return st, (loss, task_loss)
+
+            state, (losses, task_losses) = lax.scan(
+                body, state, (xK, yK, wK, rngs))
+            return state, losses, task_losses
+
+        return jax.jit(multi_step, donate_argnums=(0,))
+
+    def _train_step_fn(self):
+        """The un-jitted single-step function (shared by the jitted single
+        and scanned multi-step drivers)."""
         if self.sparse_embedding_updates:
-            return self._build_sparse_train_step()
+            return self._sparse_train_step_fn()
         module = self.module
         optimizer = self.optimizer
         mesh = self.mesh
@@ -322,9 +353,12 @@ class CTRModel:
             )
             return new_state, loss, task_loss
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
 
-    def _build_sparse_train_step(self):
+    def _build_train_step(self):
+        return jax.jit(self._train_step_fn(), donate_argnums=(0,))
+
+    def _sparse_train_step_fn(self):
         """Train step with the sparse embedding engine: gathers hoisted out
         of the loss, row-sparse table grads, in-step rowwise-adagrad scatter
         updates (training/sparse_embedding.py)."""
@@ -386,7 +420,7 @@ class CTRModel:
             )
             return new_state, loss, task_loss
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
 
     def _build_predict_step(self):
         module = self.module
@@ -416,7 +450,15 @@ class CTRModel:
 
     def fit(self, x, y, batch_size=256, epochs=1, verbose=1, initial_epoch=0,
             validation_split=0.0, validation_data=None, shuffle=True,
-            sample_weight=None, callbacks=None, profile_dir=None):
+            sample_weight=None, callbacks=None, profile_dir=None,
+            steps_per_execution=1):
+        """``steps_per_execution=K`` (Keras parity, tf.keras compile arg)
+        scans K optimizer steps inside ONE compiled call over K stacked
+        batches — amortizes per-dispatch overhead (decisive when dispatch
+        latency rivals step time, e.g. small batches or remote devices).
+        The epoch's trailing ``steps % K`` batches run through the
+        single-step program. Ignored under multi-process meshes (global
+        batch assembly is per-step there)."""
         xc = canonicalize_batch(x, self.feature_columns)
         yc = self._canon_y(y)
         n = len(yc)
@@ -438,6 +480,12 @@ class CTRModel:
         self._ensure_built(xc)
         if self._train_step is None:
             self._train_step = self._build_train_step()
+        spe = max(int(steps_per_execution or 1), 1)
+        if self._is_multiprocess():
+            spe = 1
+        if spe > 1 and (self._multi_train_step is None or self._multi_k != spe):
+            self._multi_train_step = self._build_multi_train_step(spe)
+            self._multi_k = spe
 
         steps_per_epoch = data_lib.num_batches(n, batch_size)
         if verbose:
@@ -459,18 +507,41 @@ class CTRModel:
             # keep per-step losses on device: float(loss) would force a
             # host sync every step and serialize the async dispatch pipeline
             step_losses, step_weights = [], []
+            buf = []
+
+            def flush_multi():
+                nonlocal buf
+                xK = {k: np.stack([b[0][k] for b in buf])
+                      for k in buf[0][0]}
+                yK = np.stack([b[1] for b in buf])
+                wK = np.stack([b[2] for b in buf])
+                self._rng, mrng = jax.random.split(self._rng)
+                self.state, losses, _ = self._multi_train_step(
+                    self.state, xK, yK, wK, mrng
+                )
+                for i, b in enumerate(buf):
+                    step_losses.append(losses[i])
+                    step_weights.append(b[3])
+                buf = []
+
             for xb, yb, wb, n_real in data_lib.iterate_batches(
                 xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng
             ):
                 if profile_dir is not None:
                     # trace a small window of post-warmup steps
-                    if global_step == 5 and not profiling:
+                    if global_step >= 5 and not profiling and global_step < 15:
                         jax.profiler.start_trace(profile_dir)
                         profiling = True
-                    elif global_step == 15 and profiling:
+                    elif global_step >= 15 and profiling:
                         jax.block_until_ready(self.state.params)
                         jax.profiler.stop_trace()
                         profiling = False
+                if spe > 1:
+                    buf.append((xb, yb, wb, n_real))
+                    if len(buf) == spe:
+                        flush_multi()
+                    global_step += 1
+                    continue
                 self._rng, step_rng = jax.random.split(self._rng)
                 if self._is_multiprocess():
                     # xb/yb/wb are THIS process's local shard; assemble the
@@ -484,6 +555,14 @@ class CTRModel:
                 step_losses.append(loss)
                 step_weights.append(n_real)
                 global_step += 1
+            # trailing batches (< steps_per_execution of them) run singly
+            for xb, yb, wb, n_real in buf:
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, loss, task_loss = self._train_step(
+                    self.state, xb, yb, wb, step_rng
+                )
+                step_losses.append(loss)
+                step_weights.append(n_real)
             weight_sum = float(sum(step_weights))
             loss_sum = sum(
                 float(l) * n for l, n in zip(step_losses, step_weights)
