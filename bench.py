@@ -18,7 +18,8 @@ import time
 import numpy as np
 
 BATCH = 32768
-STEPS = 50
+SCAN = 25    # optimizer steps scanned inside one compiled call
+CALLS = 4    # timed calls (SCAN * CALLS steps total)
 
 
 def main():
@@ -50,43 +51,67 @@ def main():
                   embedding_dtype="bfloat16")
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
-    train_step = model._build_train_step()
+    # SCAN steps per compiled call (the fit(steps_per_execution=K) program):
+    # amortizes dispatch so the number reflects device throughput, not the
+    # host/tunnel round-trip.
+    multi_step = model._build_multi_train_step(SCAN)
 
-    xb = {k: jnp.asarray(v) for k, v in xc.items()}
-    yb, wb = jnp.asarray(y), jnp.asarray(w)
+    # fresh ids per scanned step (shapes (SCAN, BATCH, 1))
+    xK = {}
+    for fc in model.feature_columns:
+        v = xc[fc.name]
+        if np.issubdtype(v.dtype, np.integer):
+            xK[fc.name] = jnp.asarray(
+                rng.randint(0, 100_000, (SCAN,) + v.shape).astype(np.int32))
+        else:
+            xK[fc.name] = jnp.asarray(
+                rng.rand(SCAN, *v.shape).astype(np.float32))
+    yK = jnp.asarray(np.tile(y, (SCAN, 1, 1)))
+    wK = jnp.asarray(np.tile(w, (SCAN, 1)))
     key = jax.random.PRNGKey(0)
 
     # warmup / compile
     state = model.state
-    state, loss, _ = train_step(state, xb, yb, wb, key)
-    jax.block_until_ready(loss)
+    state, losses, _ = multi_step(state, xK, yK, wK, key)
+    jax.block_until_ready(losses)
     # Force the client into synchronous (honest) mode: on the axon backend,
     # block_until_ready does NOT actually wait until the process has done
     # one device->host read — pre-read timings are dispatch-only fantasy
     # (measured "82 PFLOP/s"; see CLAUDE.md round-2 notes).
-    _ = float(jnp.asarray(loss).reshape(-1)[0])
+    _ = float(jnp.asarray(losses).reshape(-1)[0])
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss, _ = train_step(state, xb, yb, wb, key)
-    jax.block_until_ready(loss)
+    for _ in range(CALLS):
+        state, losses, _ = multi_step(state, xK, yK, wK, key)
+    jax.block_until_ready(losses)
+    _ = float(jnp.asarray(losses).reshape(-1)[-1])
     dt = time.perf_counter() - t0
 
-    examples_per_s = BATCH * STEPS / dt
+    examples_per_s = BATCH * SCAN * CALLS / dt
 
     # ---- HBM roofline, self-measured in THIS window -------------------
     # Stream bandwidth: chained elementwise pass over a 512 MB buffer
     # (read + write), so the denominator reflects the live machine, not a
     # datasheet (step timings on this backend swing with service state).
     buf = jnp.zeros((64 * 1024 * 1024,), jnp.float32)  # 256 MB
-    stream = jax.jit(lambda b: b * 1.0000001 + 1e-12)
+    n_pass = 20
+
+    @jax.jit
+    def stream(b):
+        # n_pass chained full passes inside ONE program: no per-pass dispatch
+        def body(x, _):
+            return x * 1.0000001 + 1e-12, ()
+        out, _ = jax.lax.scan(body, b, None, length=n_pass)
+        return out
+
     buf = stream(buf)
     jax.block_until_ready(buf)
+    _ = float(buf[0])
     t0 = time.perf_counter()
-    for _ in range(20):
-        buf = stream(buf)
+    buf = stream(buf)
     jax.block_until_ready(buf)
-    hbm_gbps = 20 * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9
+    _ = float(buf[0])
+    hbm_gbps = n_pass * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9
 
     # Traffic model per step (the workload is HBM-bound on table traffic):
     #   dense f32 table grads: write + read          2 * 26*100k*16*4 B
@@ -102,6 +127,7 @@ def main():
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": None,
+        "steps_per_execution": SCAN,
         "hbm_stream_gbps": round(hbm_gbps, 1),
         "roofline_examples_per_s": round(roofline_examples_per_s, 1),
         "roofline_fraction": round(examples_per_s / roofline_examples_per_s, 3),
