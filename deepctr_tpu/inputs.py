@@ -28,6 +28,10 @@ from .features import DenseFeat, SparseFeat, VarLenSparseFeat, split_columns
 from .layers.base import l2_reg as _l2_reg
 from .layers.sequence import sequence_pooling, weighted_sequence
 
+# Rows-collection key prefix for folded wide-tower lookups (so the sparse
+# engine stores a feature's linear rows separately from its main rows).
+LIN_ROWS_PREFIX = "linear~"
+
 
 def resolve_initializer(spec):
     """Declarative initializer spec -> flax initializer callable."""
@@ -76,6 +80,43 @@ def build_embedding_plan(feature_columns):
     return plan
 
 
+def fold_linear_split(linear_feature_columns, dnn_feature_columns):
+    """(foldable, rest) split of the wide tower's columns for the linear fold.
+
+    The wide/linear tower re-embeds every sparse feature with a dim-1
+    zero-init table (reference get_linear_logit, feature_column.py:173-181).
+    Looked up separately, those tables are the WORST possible TPU access
+    pattern: 4-byte rows gathered/scattered at HBM-line granularity
+    (profiled at ~half the DeepFM step). When a linear column targets a
+    table that also exists in the deep tower's plan, its dim-1 weights can
+    ride the deep row's gather for free: the funnel concatenates the
+    ``(V, 1)`` linear param onto the ``(V, E)`` deep table in-trace and one
+    gather serves both towers (EmbeddingTables.linear_values).
+
+    Folding is all-or-nothing over the sparse/varlen linear columns so the
+    wide tower's feature ORDER is preserved (IFM/DIFM's refine weight is
+    positional). Dense columns always go to ``rest``.
+    """
+    plan = build_embedding_plan(dnn_feature_columns)
+    foldable, rest = [], []
+    for fc in linear_feature_columns:
+        if isinstance(fc, DenseFeat):
+            rest.append(fc)
+            continue
+        feat = fc.sparsefeat if isinstance(fc, VarLenSparseFeat) else fc
+        host = plan.get(feat.embedding_name)
+        if (host is not None
+                and host.vocabulary_size == feat.vocabulary_size
+                and host.trainable == feat.trainable):
+            foldable.append(fc)
+        else:
+            foldable = None
+            break
+    if foldable is None or not foldable:
+        return (), tuple(linear_feature_columns)
+    return tuple(foldable), tuple(rest)
+
+
 def get_dense_input(features, feature_columns):
     """Dense values with optional transform_fn (reference inputs.py:161-172)."""
     _, _, dense_cols = split_columns(feature_columns)
@@ -108,6 +149,11 @@ class EmbeddingTables(nn.Module):
     l2_reg: float = 0.0
     prefix: str = "sparse"
     seq_mask_zero: bool = True
+    # Folded wide-tower columns (fold_linear_split): each gets a (V, 1)
+    # zero-init param "emb_linear_<table>" that rides the deep table's
+    # gather (concatenated in-trace, one gather serves both towers).
+    linear_columns: Tuple = ()
+    linear_l2: float = 0.0
 
     def setup(self):
         plan = build_embedding_plan(self.feature_columns)
@@ -120,9 +166,38 @@ class EmbeddingTables(nn.Module):
             )
         self._plan = plan
         self.tables = tables
+        lin_tables = {}
+        if self.linear_columns:
+            from .features import make_linear_columns
+
+            lin_plan = build_embedding_plan(
+                tuple(make_linear_columns(self.linear_columns)))
+            for name, feat in lin_plan.items():
+                # dim-1, zeros init (reference feature_column.py:176-181);
+                # the "emb_linear_" prefix keeps it in the embedding
+                # optimizer/bf16/sharding groups (prefix "emb_") AND in the
+                # estimator's FTRL group (path contains "linear").
+                lin_tables[name] = self.param(
+                    "emb_linear_" + name,
+                    resolve_initializer(feat.embeddings_initializer),
+                    (feat.vocabulary_size, feat.embedding_dim),
+                )
+        self._lin_tables = lin_tables
 
     def _table_raw(self, feat):
         t = self.tables[feat.embedding_name]
+        if not feat.trainable:
+            t = jax.lax.stop_gradient(t)
+        return t
+
+    def _full_table(self, feat):
+        """Deep table with the folded wide-tower column appended (the fold:
+        one physical gather serves both towers; XLA CSE merges the identical
+        takes issued by ``_rows`` and ``linear_values``)."""
+        t = self.tables[feat.embedding_name]
+        lin = self._lin_tables.get(feat.embedding_name)
+        if lin is not None:
+            t = jnp.concatenate([t, lin.astype(t.dtype)], axis=1)
         if not feat.trainable:
             t = jax.lax.stop_gradient(t)
         return t
@@ -141,7 +216,24 @@ class EmbeddingTables(nn.Module):
             )
         return self._table_raw(feat)
 
-    def _rows(self, feat, ids):
+    def _take_full(self, feat, fc_name, ids, cache):
+        """One full-width gather per (table, ids) pair per funnel call.
+
+        ``cache`` (a per-call dict) guarantees the deep tower and the folded
+        wide tower consume slices of a SINGLE take op in the jaxpr — relying
+        on HLO CSE is not enough: autodiff transposes each take separately,
+        so two takes become two backward scatter-adds (measured +10ms/step
+        at the criteo shape) even though the forward gathers dedupe.
+        """
+        key = (feat.embedding_name, fc_name, ids.ndim)
+        if cache is not None and key in cache:
+            return cache[key]
+        full = jnp.take(self._full_table(feat), ids, axis=0, mode="clip")
+        if cache is not None:
+            cache[key] = full
+        return full
+
+    def _rows(self, feat, ids, cache=None):
         """Embedding rows for one feature.
 
         Fast path: when the trainer supplies a 'gathered' collection (the
@@ -168,7 +260,10 @@ class EmbeddingTables(nn.Module):
             # sparse train step, not here — a feature may be looked up
             # several times per forward pass (e.g. DIN query + dnn lists)
             return rows
-        rows = jnp.take(self._table_raw(feat), ids, axis=0, mode="clip")
+        base = feat.sparsefeat if isinstance(feat, VarLenSparseFeat) else feat
+        rows = self._take_full(base, feat.name, ids, cache)
+        if base.embedding_name in self._lin_tables:
+            rows = rows[..., : base.embedding_dim]  # folded col is the tail
         if rows.dtype != jnp.float32:
             # low-precision table storage (e.g. bf16): compute in f32
             rows = rows.astype(jnp.float32)
@@ -178,19 +273,93 @@ class EmbeddingTables(nn.Module):
         # Full-table l2, matching Keras embeddings_regularizer (inputs.py:22).
         # Tables served from the 'gathered' collection (sparse-update mode)
         # are skipped — lazy per-row reg happens in _rows instead.
-        if not self.l2_reg:
-            return
-        sparse_cols, varlen_cols, _ = split_columns(self.feature_columns)
-        gathered_tables = {
-            fc.embedding_name
-            for fc in chain(sparse_cols, varlen_cols)
-            if self.has_variable("gathered", fc.name)
-        }
-        dense_reg = [self.tables[n] for n in self._plan if n not in gathered_tables]
-        if dense_reg:
-            _l2_reg(self, self.l2_reg, *dense_reg)
+        if self.l2_reg:
+            sparse_cols, varlen_cols, _ = split_columns(self.feature_columns)
+            gathered_tables = {
+                fc.embedding_name
+                for fc in chain(sparse_cols, varlen_cols)
+                if self.has_variable("gathered", fc.name)
+            }
+            dense_reg = [self.tables[n] for n in self._plan if n not in gathered_tables]
+            if dense_reg:
+                _l2_reg(self, self.l2_reg, *dense_reg)
+        if self.linear_l2 and self._lin_tables:
+            gathered_lin = {
+                (fc.sparsefeat if isinstance(fc, VarLenSparseFeat) else fc).embedding_name
+                for fc in self.linear_columns
+                if self.has_variable("gathered", LIN_ROWS_PREFIX + fc.name)
+            }
+            lin_reg = [t for n, t in self._lin_tables.items() if n not in gathered_lin]
+            if lin_reg:
+                _l2_reg(self, self.linear_l2, *lin_reg)
 
-    def lookup(self, features, sparse_cols, return_feat_list=(), to_list=False):
+    def linear_values(self, features, cache=None):
+        """Folded wide-tower values (B, 1, F) for ``linear_columns`` (order
+        preserved), or None when nothing is folded.
+
+        Dense path: each value is the tail column of the SAME full-width
+        gather `_rows` issues for the deep tower — via the shared per-call
+        ``cache``, so the jaxpr holds ONE take per (table, ids) pair (HLO
+        CSE alone is not enough; see ``_take_full``) — the dim-1 tables'
+        pathological 4-byte-row gathers/scatters disappear. Sparse-engine
+        path: the linear param is recorded/served as its own plan entry
+        (rows key ``linear~<name>``) so hoisting, lazy l2 and row-wise
+        Adagrad treat it exactly like the unfolded dim-1 table.
+        """
+        if not self.linear_columns:
+            return None
+        out = []
+        for fc in self.linear_columns:
+            varlen = isinstance(fc, VarLenSparseFeat)
+            base = fc.sparsefeat if varlen else fc
+            deep = self._plan[base.embedding_name]
+            key = LIN_ROWS_PREFIX + fc.name
+            ids = features[fc.name].astype(jnp.int32)
+            if not varlen:
+                ids = ids.reshape(-1)
+            if self.is_mutable_collection("gather_plan"):
+                kind = 1 if varlen else 0
+                meta = jnp.asarray([kind, self.linear_l2], jnp.float32)
+                self.sow(
+                    "gather_plan",
+                    key + "|linear_" + base.embedding_name, meta,
+                    init_fn=lambda meta=meta: meta,
+                    reduce_fn=lambda a, b: b,
+                )
+            if self.has_variable("gathered", key):
+                lin = self.get_variable("gathered", key)
+                if not base.trainable:
+                    lin = jax.lax.stop_gradient(lin)
+            elif self.is_mutable_collection("gather_plan"):
+                # planning pass: gather from the standalone param so the
+                # recorded entry matches what the engine will hoist
+                tbl = self._lin_tables[base.embedding_name]
+                if not base.trainable:
+                    tbl = jax.lax.stop_gradient(tbl)
+                lin = jnp.take(tbl, ids, axis=0, mode="clip")
+            else:
+                # folded col is the tail of the deep table's full-width
+                # gather; the slice offset is the DEEP dim (the linear
+                # column's declared dim is irrelevant — it re-embeds at 1)
+                full = self._take_full(deep, fc.name, ids, cache)
+                lin = full[..., deep.embedding_dim:]
+            if lin.dtype != jnp.float32:
+                lin = lin.astype(jnp.float32)
+            if varlen:
+                mask = self.varlen_mask(features, fc)
+                if fc.weight_name is not None:
+                    lin = weighted_sequence(
+                        lin, features[fc.weight_name], mask=mask,
+                        weight_normalization=fc.weight_norm,
+                    )
+                vec = sequence_pooling(lin, fc.combiner, mask=mask)
+            else:
+                vec = lin[:, None, :]
+            out.append(vec)  # (B, 1, 1)
+        return jnp.concatenate(out, axis=-1)
+
+    def lookup(self, features, sparse_cols, return_feat_list=(), to_list=False,
+               cache=None):
         """Grouped sparse lookups (reference embedding_lookup, inputs.py:101-117).
 
         Each output is (B, 1, E). ``use_hash`` ids were hashed on host.
@@ -200,19 +369,20 @@ class EmbeddingTables(nn.Module):
             if len(return_feat_list) == 0 or fc.name in return_feat_list:
                 ids = features[fc.name].astype(jnp.int32).reshape(-1)
                 # mode="clip" in _rows: out-of-vocab ids clamp, never NaN
-                vec = self._rows(fc, ids)[:, None, :]
+                vec = self._rows(fc, ids, cache=cache)[:, None, :]
                 group[fc.group_name].append(vec)
         if to_list:
             return list(chain.from_iterable(group.values()))
         return group
 
-    def varlen_lookup(self, features, varlen_cols, return_feat_list=(), to_list=False):
+    def varlen_lookup(self, features, varlen_cols, return_feat_list=(), to_list=False,
+                      cache=None):
         """Raw (B, T, E) sequence embeddings (reference inputs.py:120-130)."""
         out = OrderedDict()
         for fc in varlen_cols:
             if len(return_feat_list) == 0 or fc.name in return_feat_list:
                 ids = features[fc.name].astype(jnp.int32)
-                out[fc.name] = self._rows(fc, ids)
+                out[fc.name] = self._rows(fc, ids, cache=cache)
         if to_list:
             return list(out.values())
         return out
@@ -249,7 +419,7 @@ class EmbeddingTables(nn.Module):
             fc.weight_name is not None,
         )
 
-    def pool_varlen(self, features, varlen_cols, to_list=False):
+    def pool_varlen(self, features, varlen_cols, to_list=False, cache=None):
         """Pooled (B, 1, E) per varlen feature, grouped (reference
         get_varlen_pooling_list, inputs.py:133-158). Eligible features run
         the fused Pallas gather+pool (the (B, T, E) intermediate never
@@ -259,7 +429,7 @@ class EmbeddingTables(nn.Module):
         group = defaultdict(list)
         fused_cols = [fc for fc in varlen_cols if self._fused_pool_eligible(fc)]
         std_cols = [fc for fc in varlen_cols if fc not in fused_cols]
-        seq_embeds = self.varlen_lookup(features, std_cols)
+        seq_embeds = self.varlen_lookup(features, std_cols, cache=cache)
         for fc in varlen_cols:
             mask = self.varlen_mask(features, fc)
             if fc in fused_cols:
@@ -285,22 +455,30 @@ class EmbeddingTables(nn.Module):
             return list(chain.from_iterable(group.values()))
         return group
 
-    def __call__(self, features, support_dense=True, support_group=False):
+    def __call__(self, features, support_dense=True, support_group=False,
+                 return_linear=False):
         """The input_from_feature_columns funnel (feature_column.py:213-233).
 
-        Returns (group_embedding_dict | flat list, dense_value_list).
+        Returns (group_embedding_dict | flat list, dense_value_list)
+        — plus the folded wide-tower values (``linear_values``) as a third
+        element when ``return_linear`` is set. The three outputs share one
+        per-call gather cache, so each (table, ids) pair is gathered by a
+        SINGLE take op serving both towers (one backward scatter).
         """
+        cache = {}
         sparse_cols, varlen_cols, _ = split_columns(self.feature_columns)
         self._reg_all()
-        group_sparse = self.lookup(features, sparse_cols)
+        group_sparse = self.lookup(features, sparse_cols, cache=cache)
         dense_values = get_dense_input(features, self.feature_columns)
         if not support_dense and len(dense_values) > 0:
             raise ValueError("DenseFeat is not supported in dnn_feature_columns")
-        group_varlen = self.pool_varlen(features, varlen_cols)
+        group_varlen = self.pool_varlen(features, varlen_cols, cache=cache)
         merged = merge_group_dicts(group_sparse, group_varlen)
-        if not support_group:
-            return list(chain.from_iterable(merged.values())), dense_values
-        return merged, dense_values
+        sparse_out = (merged if support_group
+                      else list(chain.from_iterable(merged.values())))
+        if return_linear:
+            return sparse_out, dense_values, self.linear_values(features, cache=cache)
+        return sparse_out, dense_values
 
 
 class LinearLogit(nn.Module):
@@ -318,7 +496,12 @@ class LinearLogit(nn.Module):
     prefix: str = "linear"
 
     @nn.compact
-    def __call__(self, features, sparse_feat_refine_weight=None):
+    def __call__(self, features, sparse_feat_refine_weight=None,
+                 extra_sparse=None):
+        """``extra_sparse`` (B, 1, F): folded wide-tower values produced by
+        the deep funnel (EmbeddingTables.linear_values) — prepended to this
+        tower's own sparse terms. With the fold active, ``feature_columns``
+        holds only the non-foldable remainder (fold_linear_split)."""
         from .features import make_linear_columns
         from .layers.utils import Linear, concat_func
 
@@ -333,6 +516,8 @@ class LinearLogit(nn.Module):
             dense_input = concat_func(dense_list) if dense_list else None
             if dense_input is not None and dense_input.ndim > 2:
                 dense_input = dense_input.reshape(dense_input.shape[0], -1)
+            if extra_sparse is not None:
+                sparse_list = [extra_sparse] + list(sparse_list)
             sparse_input = None
             if sparse_list:
                 sparse_input = concat_func(sparse_list)  # (B, 1, F)

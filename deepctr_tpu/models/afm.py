@@ -6,7 +6,7 @@ from typing import Tuple
 import flax.linen as nn
 
 from ..features import DEFAULT_GROUP_NAME
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import PredictionLayer
 from ..layers.interaction import AFMLayer, FM
 from ..layers.utils import add_func, concat_func
@@ -29,12 +29,17 @@ class AFMModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
-        group_embedding_dict, _ = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features, support_dense=False, support_group=True)
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        group_embedding_dict, _, lin_vals = tables(features, support_dense=False, support_group=True, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         if self.use_attention:
             fm_logit = add_func([
                 AFMLayer(self.attention_factor, self.l2_reg_att, self.afm_dropout,

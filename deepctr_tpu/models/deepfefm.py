@@ -8,7 +8,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..features import DEFAULT_GROUP_NAME
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import FEFMLayer
 from ..layers.utils import add_func, combined_dnn_input, concat_func
@@ -36,12 +36,17 @@ class DeepFEFMModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding_feat,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        group_embedding_dict, dense_list, lin_vals = tables(features, support_group=True, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        group_embedding_dict, dense_list = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding_feat, name="embeddings"
-        )(features, support_group=True)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
 
         fefm_interaction_embedding = concat_func([
             FEFMLayer(self.l2_reg_embedding_field, name="fefm_" + k)(

@@ -7,7 +7,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 
 from ..features import DEFAULT_GROUP_NAME
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import FM
 from ..layers.utils import add_func, combined_dnn_input, concat_func
@@ -31,12 +31,18 @@ class DeepFMModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        group_embedding_dict, dense_value_list, lin_vals = tables(
+            features, support_group=True, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        group_embedding_dict, dense_value_list = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features, support_group=True)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         fm_logits = [
             FM()(concat_func(v, axis=1))
             for k, v in group_embedding_dict.items()

@@ -6,7 +6,7 @@ from typing import Any, Tuple
 import flax.linen as nn
 
 from ..features import SparseFeat, VarLenSparseFeat
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import FM, InteractingLayer
 from ..layers.utils import add_func, combined_dnn_input, concat_func, flatten
@@ -36,9 +36,14 @@ class DIFMModule(nn.Module):
             fc for fc in self.dnn_feature_columns
             if isinstance(fc, (SparseFeat, VarLenSparseFeat))
         ])
-        sparse_list, _ = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features)
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        sparse_list, _, lin_vals = tables(features, return_linear=True)
         if not len(sparse_list) > 0:
             raise ValueError("there are no sparse features")
 
@@ -65,8 +70,8 @@ class DIFMModule(nn.Module):
         input_aware_factor = m_vec + m_bit
 
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features, sparse_feat_refine_weight=input_aware_factor)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, sparse_feat_refine_weight=input_aware_factor, extra_sparse=lin_vals)
 
         fm_input = concat_func(sparse_list, axis=1)
         refined_fm_input = fm_input * input_aware_factor[:, :, None]

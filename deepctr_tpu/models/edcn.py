@@ -5,7 +5,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer, RegulationModule
 from ..layers.interaction import BridgeModule, CrossNet
 from ..layers.utils import add_func, concat_func
@@ -32,12 +32,17 @@ class EDCNModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        sparse_list, _, lin_vals = tables(features, support_dense=False, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        sparse_list, _ = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features, support_dense=False)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         emb_input = concat_func(sparse_list, axis=1)  # (B, F, E)
         field_size, embedding_size = emb_input.shape[1], emb_input.shape[2]
         cross_dim = field_size * embedding_size

@@ -7,7 +7,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import FGCNNLayer, InnerProductLayer
 from ..layers.utils import add_func, concat_func, flatten
@@ -32,12 +32,17 @@ class FGCNNModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        deep_emb_list, _, lin_vals = tables(features, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        deep_emb_list, _ = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         fg_deep_emb_list, _ = EmbeddingTables(
             self.dnn_feature_columns, self.l2_reg_embedding, prefix="fg",
             name="fg_embeddings",

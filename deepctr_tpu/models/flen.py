@@ -6,7 +6,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import FieldWiseBiInteraction
 from ..layers.utils import add_func, combined_dnn_input, concat_func
@@ -29,12 +29,17 @@ class FLENModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
-        group_embedding_dict, dense_list = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features, support_group=True)
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        group_embedding_dict, dense_list, lin_vals = tables(features, support_group=True, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         fm_mf_out = FieldWiseBiInteraction(seed=self.seed, name="fwbi")(
             [concat_func(v, axis=1) for k, v in group_embedding_dict.items()]
         )

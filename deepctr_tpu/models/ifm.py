@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from ..features import SparseFeat, VarLenSparseFeat
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.utils import add_func, combined_dnn_input, concat_func
 from ..layers.interaction import FM
@@ -35,9 +35,14 @@ class IFMModule(nn.Module):
             fc for fc in self.dnn_feature_columns
             if isinstance(fc, (SparseFeat, VarLenSparseFeat))
         ])
-        sparse_list, _ = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features)
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        sparse_list, _, lin_vals = tables(features, return_linear=True)
         if not len(sparse_list) > 0:
             raise ValueError("there are no sparse features")
         dnn_input = combined_dnn_input(sparse_list, [])
@@ -53,8 +58,8 @@ class IFMModule(nn.Module):
         input_aware_factor = sparse_feat_num * jax.nn.softmax(m_prime, axis=1)
 
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features, sparse_feat_refine_weight=input_aware_factor)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, sparse_feat_refine_weight=input_aware_factor, extra_sparse=lin_vals)
 
         fm_input = concat_func(sparse_list, axis=1)
         refined_fm_input = fm_input * input_aware_factor[:, :, None]

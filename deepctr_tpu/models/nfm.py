@@ -5,7 +5,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.interaction import BiInteractionPooling
 from ..layers.utils import add_func, combined_dnn_input, concat_func
@@ -28,12 +28,17 @@ class NFMModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        sparse_list, dense_list, lin_vals = tables(features, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        sparse_list, dense_list = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         fm_input = concat_func(sparse_list, axis=1)
         bi_out = BiInteractionPooling()(fm_input)
         if self.bi_dropout:

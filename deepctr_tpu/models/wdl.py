@@ -5,7 +5,7 @@ from typing import Any, Tuple
 
 import flax.linen as nn
 
-from ..inputs import EmbeddingTables, LinearLogit
+from ..inputs import EmbeddingTables, LinearLogit, fold_linear_split
 from ..layers.core import DNN, PredictionLayer
 from ..layers.utils import add_func, combined_dnn_input
 from ._common import DenseLogit, register, unified_feature_columns
@@ -26,12 +26,17 @@ class WDLModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, training: bool = False):
+        folded, lin_rest = fold_linear_split(
+            self.linear_feature_columns, self.dnn_feature_columns)
+        tables = EmbeddingTables(
+            self.dnn_feature_columns, self.l2_reg_embedding,
+            linear_columns=folded, linear_l2=self.l2_reg_linear,
+            name="embeddings",
+        )
+        sparse_list, dense_list, lin_vals = tables(features, return_linear=True)
         linear_logit = LinearLogit(
-            self.linear_feature_columns, l2_reg=self.l2_reg_linear, name="linear"
-        )(features)
-        sparse_list, dense_list = EmbeddingTables(
-            self.dnn_feature_columns, self.l2_reg_embedding, name="embeddings"
-        )(features)
+            lin_rest, l2_reg=self.l2_reg_linear, name="linear"
+        )(features, extra_sparse=lin_vals)
         dnn_input = combined_dnn_input(sparse_list, dense_list)
         dnn_out = DNN(
             tuple(self.dnn_hidden_units), self.dnn_activation, self.l2_reg_dnn,

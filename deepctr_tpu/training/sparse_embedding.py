@@ -47,7 +47,7 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 
 class PlanEntry(NamedTuple):
     module_path: Tuple[str, ...]  # scope of the owning EmbeddingTables
-    feature: str                  # batch key supplying the ids
+    feature: str                  # rows key; batch key after prefix strip
     embedding_name: str           # table param is "emb_" + embedding_name
     kind: int                     # 0 = sparse (B,), 1 = varlen (B, T)
     l2_reg: float = 0.0           # owning funnel's embedding l2 (lazy reg)
@@ -59,6 +59,16 @@ class PlanEntry(NamedTuple):
     @property
     def rows_path(self) -> Tuple[str, ...]:
         return self.module_path + (self.feature,)
+
+    @property
+    def batch_key(self) -> str:
+        # Folded wide-tower entries (inputs.LIN_ROWS_PREFIX) read the same
+        # batch ids as their main feature but store rows under their own key.
+        from ..inputs import LIN_ROWS_PREFIX
+
+        if self.feature.startswith(LIN_ROWS_PREFIX):
+            return self.feature[len(LIN_ROWS_PREFIX):]
+        return self.feature
 
 
 def discover_plan(module, variables, sample_batch) -> List[PlanEntry]:
@@ -131,7 +141,7 @@ def gather_rows(tables, batch, plan):
     rows_flat = {}
     for entry in plan:
         table = tables[entry.table_path]
-        ids = batch[entry.feature].astype(jnp.int32)
+        ids = batch[entry.batch_key].astype(jnp.int32)
         if entry.kind == 0:
             rows = jnp.take(table, ids.reshape(-1), axis=0, mode="clip")
         else:
@@ -281,7 +291,7 @@ def apply_sparse_updates(tables, embed_state, rows_grads, batch, plan,
         # credit the clamped row instead of dropping their gradient, and can
         # never drive an out-of-bounds row DMA in the Pallas kernel.
         V = tables[entry.table_path].shape[0]
-        ids = jnp.clip(batch[entry.feature].astype(jnp.int32), 0, V - 1)
+        ids = jnp.clip(batch[entry.batch_key].astype(jnp.int32), 0, V - 1)
         E = g.shape[-1]
         per_table[entry.table_path].append(
             (ids.reshape(-1), g.reshape(-1, E))

@@ -56,7 +56,12 @@ def test_plan_discovery_covers_dnn_and_linear_tables():
     assert len(plan) > 0
     paths = {e.module_path[0] for e in plan}
     assert "embeddings" in paths  # dnn funnel
-    assert "linear" in paths      # wide tower funnel
+    # wide tower: folded linear entries (linear~<name> rows under the deep
+    # funnel, inputs.LIN_ROWS_PREFIX) or a standalone linear tower scope
+    from deepctr_tpu.inputs import LIN_ROWS_PREFIX
+
+    assert any(e.feature.startswith(LIN_ROWS_PREFIX) or e.module_path[0] == "linear"
+               for e in plan)
     # every planned table exists in params
     from flax.traverse_util import flatten_dict
 
