@@ -340,8 +340,10 @@ class CTRModel:
             (loss, (mutated, task_loss)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            from .optimizers import apply_optimizer
+
+            new_params, new_opt_state = apply_optimizer(
+                optimizer, grads, state.opt_state, state.params)
             new_model_state = {k: v for k, v in mutated.items() if k != "losses"}
             # keep collections that were not mutated this step
             for k, v in state.model_state.items():
@@ -398,10 +400,10 @@ class CTRModel:
                 loss_fn, argnums=(0, 1), has_aux=True
             )(dense_params, rows)
 
-            updates, new_opt_state = optimizer.update(
-                g_dense, state.opt_state, dense_params
-            )
-            new_dense = optax.apply_updates(dense_params, updates)
+            from .optimizers import apply_optimizer
+
+            new_dense, new_opt_state = apply_optimizer(
+                optimizer, g_dense, state.opt_state, dense_params)
             new_tables, new_embed = se.apply_sparse_updates(
                 tables, state.embed_state, g_rows, xb, plan,
                 learning_rate=embedding_lr, use_pallas=use_pallas,

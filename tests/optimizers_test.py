@@ -20,7 +20,8 @@ def test_rowwise_adagrad_state_is_one_scalar_per_row():
     params = {"emb_table": jnp.ones((100, 16)), "bias": jnp.ones((4,))}
     opt = rowwise_adagrad(0.01)
     state = opt.init(params)
-    assert state.acc["emb_table"].shape == (100, 1)
+    # 1-D (V,): a (V, 1) column would be lane-padded 1->128 on TPU
+    assert state.acc["emb_table"].shape == (100,)
     assert state.acc["bias"].shape == (4,)
     grads = {"emb_table": jnp.ones((100, 16)), "bias": jnp.ones((4,))}
     updates, state2 = opt.update(grads, state, params)
@@ -57,9 +58,12 @@ def test_optimizers_reduce_quadratic(make_opt):
 
 
 def test_resolve_named():
+    from deepctr_tpu.training.optimizers import FusedOptimizer
+
     for name in ["sgd", "adam", "adagrad", "rmsprop", "ftrl", "rowwise_adagrad",
                  "ctr_default"]:
-        assert isinstance(resolve_optimizer(name), optax.GradientTransformation)
+        assert isinstance(resolve_optimizer(name),
+                          (optax.GradientTransformation, FusedOptimizer))
     with pytest.raises(ValueError):
         resolve_optimizer("nope")
 
