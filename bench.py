@@ -3,8 +3,16 @@
 Criteo-shaped synthetic workload: 26 sparse features (100k vocab, dim 16) +
 13 dense — the layout of the reference's run_classification_criteo.py —
 batch 32768 (typical accelerator CTR batch; MLPerf DLRM uses 32k-64k global).
-Optimizer: adam on the dense tower + row-wise adagrad on embedding tables
-(the recommended TPU configuration, training/optimizers.py).
+Optimizer: adam on the dense tower + fused row-wise adagrad on embedding
+tables (the recommended TPU configuration, training/optimizers.py).
+
+Dispatch pattern: fit(steps_per_execution=K)'s UNROLLED K-step scan — one
+compiled call per K optimizer steps with fresh ids per step. Round-2
+dispatch study at this shape (honest timing): while-loop scan 20.5 ms/step
+(carry copies), chained single-step host loop 16.5 ms, unrolled scan
+13.7 ms. Chained state + a device->host read before AND after the timed
+region keep numbers honest on the axon backend (block_until_ready alone
+does not flush pre-first-read; CLAUDE.md measurement discipline).
 
 Prints ONE JSON line. ``vs_baseline`` is examples/s relative to the recorded
 reference-framework figure when available — the reference publishes none
@@ -18,7 +26,7 @@ import time
 import numpy as np
 
 BATCH = 32768
-SCAN = 25    # optimizer steps scanned inside one compiled call
+SCAN = 25    # optimizer steps unrolled inside one compiled call
 CALLS = 4    # timed calls (SCAN * CALLS steps total)
 
 
@@ -45,18 +53,15 @@ def main():
     w = np.ones(BATCH, np.float32)
 
     model = DeepFM(cols, cols, dnn_hidden_units=(256, 128, 64))
-    # bf16 table storage halves embedding HBM traffic (~8% step speedup,
-    # quality-neutral on the sample datasets — tests/bf16_embedding_test.py)
+    # bf16 table storage halves embedding HBM traffic, quality-neutral on
+    # the sample datasets (tests/bf16_embedding_test.py)
     model.compile(embedding_split_optimizer(), "binary_crossentropy",
                   embedding_dtype="bfloat16")
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
-    # SCAN steps per compiled call (the fit(steps_per_execution=K) program):
-    # amortizes dispatch so the number reflects device throughput, not the
-    # host/tunnel round-trip.
     multi_step = model._build_multi_train_step(SCAN)
 
-    # fresh ids per scanned step (shapes (SCAN, BATCH, 1))
+    # fresh ids per unrolled step (shapes (SCAN, BATCH, 1))
     xK = {}
     for fc in model.feature_columns:
         v = xc[fc.name]
@@ -70,14 +75,13 @@ def main():
     wK = jnp.asarray(np.tile(w, (SCAN, 1)))
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile, then force the client into synchronous (honest)
+    # mode: on the axon backend, block_until_ready does NOT wait until the
+    # process has done one device->host read — pre-read timings are
+    # dispatch-only fantasy (measured "82 PFLOP/s"; CLAUDE.md round-2 notes).
     state = model.state
     state, losses, _ = multi_step(state, xK, yK, wK, key)
     jax.block_until_ready(losses)
-    # Force the client into synchronous (honest) mode: on the axon backend,
-    # block_until_ready does NOT actually wait until the process has done
-    # one device->host read — pre-read timings are dispatch-only fantasy
-    # (measured "82 PFLOP/s"; see CLAUDE.md round-2 notes).
     _ = float(jnp.asarray(losses).reshape(-1)[0])
 
     t0 = time.perf_counter()
@@ -90,7 +94,7 @@ def main():
     examples_per_s = BATCH * SCAN * CALLS / dt
 
     # ---- HBM roofline, self-measured in THIS window -------------------
-    # Stream bandwidth: chained elementwise pass over a 512 MB buffer
+    # Stream bandwidth: chained elementwise pass over a 256 MB buffer
     # (read + write), so the denominator reflects the live machine, not a
     # datasheet (step timings on this backend swing with service state).
     buf = jnp.zeros((64 * 1024 * 1024,), jnp.float32)  # 256 MB
@@ -114,13 +118,13 @@ def main():
     hbm_gbps = n_pass * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9
 
     # Traffic model per step (the workload is HBM-bound on table traffic):
-    #   dense f32 table grads: write + read          2 * 26*100k*16*4 B
+    #   bf16 table grads: zero-init write + read     2 * 26*100k*16*2 B
     #   bf16 table params: read + write              2 * 26*100k*16*2 B
     #   adagrad row accumulators: read + write       2 * 26*100k*4 B
-    #   per-example activations/lookup rows (~5 KB)  BATCH * 5e3 B
+    #   per-example activations/lookup rows (~10 KB) BATCH * 1e4 B
     table_elems = 26 * 100_000 * 16
-    bytes_per_step = (2 * table_elems * 4 + 2 * table_elems * 2 +
-                      2 * 26 * 100_000 * 4 + BATCH * 5e3)
+    bytes_per_step = (2 * table_elems * 2 + 2 * table_elems * 2 +
+                      2 * 26 * 100_000 * 4 + BATCH * 1e4)
     roofline_examples_per_s = BATCH * hbm_gbps * 1e9 / bytes_per_step
     print(json.dumps({
         "metric": "deepfm_criteo_train_examples_per_s_per_chip",

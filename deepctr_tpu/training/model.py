@@ -292,7 +292,14 @@ class CTRModel:
         Amortizes per-call dispatch — decisive on dispatch-bound setups
         (the axon tunnel charges ~1-2 ms per execution) and harmless
         elsewhere. Returns fn(state, xK, yK, wK, rng) -> (state, losses,
-        task_losses) with (K, ...) stacked inputs."""
+        task_losses) with (K, ...) stacked inputs.
+
+        The scan is fully UNROLLED: an XLA while-loop carry forces extra
+        full passes over the embedding-table state every iteration
+        (measured +50% step time at the criteo shape, 20.5 -> 13.7 ms
+        unrolled), while the unrolled straight-line program lets XLA keep
+        tables in place across steps. Compile time grows with K — K <= 32
+        keeps the remote compile helper in its normal window."""
         import jax.lax as lax
 
         raw = self._train_step_fn()
@@ -306,7 +313,8 @@ class CTRModel:
                 return st, (loss, task_loss)
 
             state, (losses, task_losses) = lax.scan(
-                body, state, (xK, yK, wK, rngs))
+                body, state, (xK, yK, wK, rngs),
+                unroll=steps_per_execution)
             return state, losses, task_losses
 
         return jax.jit(multi_step, donate_argnums=(0,))
