@@ -294,15 +294,21 @@ class CTRModel:
         elsewhere. Returns fn(state, xK, yK, wK, rng) -> (state, losses,
         task_losses) with (K, ...) stacked inputs.
 
-        The scan is fully UNROLLED: an XLA while-loop carry forces extra
-        full passes over the embedding-table state every iteration
-        (measured +50% step time at the criteo shape, 20.5 -> 13.7 ms
-        unrolled), while the unrolled straight-line program lets XLA keep
-        tables in place across steps. Compile time grows with K — K <= 32
-        keeps the remote compile helper in its normal window."""
+        The scan body is UNROLLED (up to 32 steps per while-iteration): an
+        XLA while-loop carry forces extra full passes over the
+        embedding-table state every iteration (measured +50% step time at
+        the criteo shape, 20.5 -> 13.7 ms/step unrolled), while the
+        straight-line block lets XLA update tables in place across steps.
+        The 32-step cap bounds compile time for large K — carry copies are
+        then amortized 32x, which is already in the noise."""
         import jax.lax as lax
 
         raw = self._train_step_fn()
+        unroll = min(steps_per_execution, 32)
+        # unroll must divide the scan length or lax.scan falls back to a
+        # plain while loop per remainder; pick the largest divisor <= 32
+        while steps_per_execution % unroll:
+            unroll -= 1
 
         def multi_step(state: TrainState, xK, yK, wK, rng):
             rngs = jax.random.split(rng, steps_per_execution)
@@ -313,8 +319,7 @@ class CTRModel:
                 return st, (loss, task_loss)
 
             state, (losses, task_losses) = lax.scan(
-                body, state, (xK, yK, wK, rngs),
-                unroll=steps_per_execution)
+                body, state, (xK, yK, wK, rngs), unroll=unroll)
             return state, losses, task_losses
 
         return jax.jit(multi_step, donate_argnums=(0,))
