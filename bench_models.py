@@ -80,7 +80,7 @@ def _measure(model, cols, x, batch, steps=30):
     return batch * steps / (time.perf_counter() - t0)
 
 
-def main(selected=None):
+def main(selected=None, mp=False):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -105,11 +105,13 @@ def main(selected=None):
         if selected and name not in selected:
             continue
         model, cols, x, batch = make()
+        # --mp: bf16 activations on top of bf16 tables (mixed precision)
+        kw = dict(compute_dtype="bfloat16") if mp else {}
         model.compile(embedding_split_optimizer(), "binary_crossentropy",
-                      embedding_dtype="bfloat16")
+                      embedding_dtype="bfloat16", **kw)
         rate = _measure(model, cols, x, batch)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",
-                          "model": name, "batch": batch,
+                          "model": name, "batch": batch, "mp": mp,
                           "value": round(rate, 1), "unit": "examples/s"}),
               flush=True)
 
@@ -117,4 +119,7 @@ def main(selected=None):
 if __name__ == "__main__":
     import sys
 
-    main(set(sys.argv[1:]) or None)
+    args = set(sys.argv[1:])
+    mp = "--mp" in args
+    args.discard("--mp")
+    main(args or None, mp=mp)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .features import DenseFeat, SparseFeat, VarLenSparseFeat, split_columns
+from .layers.base import compute_dtype
 from .layers.base import l2_reg as _l2_reg
 from .layers.sequence import sequence_pooling, weighted_sequence
 
@@ -259,14 +260,19 @@ class EmbeddingTables(nn.Module):
             # lazy (touched-rows) l2 happens ONCE per plan entry in the
             # sparse train step, not here — a feature may be looked up
             # several times per forward pass (e.g. DIN query + dnn lists)
+            cd = compute_dtype()
+            if rows.dtype != cd:
+                rows = rows.astype(cd)  # grads transpose back through the cast
             return rows
         base = feat.sparsefeat if isinstance(feat, VarLenSparseFeat) else feat
         rows = self._take_full(base, feat.name, ids, cache)
         if base.embedding_name in self._lin_tables:
             rows = rows[..., : base.embedding_dim]  # folded col is the tail
-        if rows.dtype != jnp.float32:
-            # low-precision table storage (e.g. bf16): compute in f32
-            rows = rows.astype(jnp.float32)
+        cd = compute_dtype()
+        if rows.dtype != cd:
+            # table storage dtype != activation dtype (e.g. bf16 tables with
+            # f32 compute, or f32 tables with compute_dtype="bfloat16")
+            rows = rows.astype(cd)
         return rows
 
     def _reg_all(self):
@@ -344,6 +350,8 @@ class EmbeddingTables(nn.Module):
                 full = self._take_full(deep, fc.name, ids, cache)
                 lin = full[..., deep.embedding_dim:]
             if lin.dtype != jnp.float32:
+                # wide-tower values stay f32: they sum straight into the
+                # logit and are tiny (dim-1)
                 lin = lin.astype(jnp.float32)
             if varlen:
                 mask = self.varlen_mask(features, fc)

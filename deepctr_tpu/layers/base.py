@@ -1,12 +1,46 @@
 """Shared helpers for the TPU layer zoo (flax.linen modules over JAX/XLA)."""
 from __future__ import annotations
 
+import contextlib
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 # Same very-negative padding constant the reference uses for masked softmax
 # (layers/sequence.py:171,281,587): finite, so exp() underflows to exactly 0.
 MASK_PADDING = -(2.0 ** 32) + 1.0
+
+# ---- mixed-precision compute dtype ------------------------------------
+# CTR activations at large batch are real HBM traffic (a (32768, 26, 26)
+# attention-score array is 177 MB in f32); bf16 compute halves it and the
+# MXU natively consumes bf16 with f32 accumulation. The scope is consulted
+# at TRACE time by the funnel and the hot layers; parameters stay f32
+# (master weights) and are cast AT USE. Activate per model via
+# ``model.compile(..., compute_dtype="bfloat16")`` (training/model.py
+# wraps every network.apply in this scope).
+_COMPUTE_DTYPE = [jnp.float32]
+
+
+def compute_dtype():
+    """The activation dtype for the current trace (f32 unless a
+    compute_dtype_scope is active)."""
+    return _COMPUTE_DTYPE[-1]
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+    _COMPUTE_DTYPE.append(jnp.dtype(dtype))
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.pop()
+
+
+def cast_cd(*arrays):
+    """Cast arrays to the active compute dtype (no-op trees in f32 mode)."""
+    cd = compute_dtype()
+    out = tuple(a if a is None else a.astype(cd) for a in arrays)
+    return out[0] if len(out) == 1 else out
 
 
 def glorot_normal():

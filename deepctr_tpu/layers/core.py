@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .activation import activation_fn
-from .base import glorot_normal, l2_reg, ones_init, zeros_init
+from .base import cast_cd, compute_dtype, glorot_normal, l2_reg, ones_init, zeros_init
 
 
 class DNN(nn.Module):
@@ -32,7 +32,8 @@ class DNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        h = x
+        cd = compute_dtype()
+        h = x.astype(cd)
         n = len(self.hidden_units)
         for i, units in enumerate(self.hidden_units):
             kernel = self.param(
@@ -40,14 +41,16 @@ class DNN(nn.Module):
             )
             bias = self.param("bias" + str(i), zeros_init(), (units,))
             l2_reg(self, self.l2_reg, kernel)
+            # bf16 compute dtype: cast params at use, accumulate f32 on the
+            # MXU, store the activation back in bf16
             h = (
                 jax.lax.dot_general(
                     h,
-                    kernel,
+                    kernel.astype(cd),
                     dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                + bias
+                ).astype(cd)
+                + bias.astype(cd)
             )
             if self.use_bn:
                 h = nn.BatchNorm(use_running_average=not training, momentum=0.99)(h)
@@ -104,13 +107,13 @@ class LocalActivationUnit(nn.Module):
         score = (
             jax.lax.dot_general(
                 att_out,
-                kernel,
+                cast_cd(kernel),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             + bias
         )
-        return score  # (B, T, 1)
+        return score  # (B, T, 1), f32 (scores feed masked softmax)
 
 
 class PredictionLayer(nn.Module):
@@ -123,6 +126,7 @@ class PredictionLayer(nn.Module):
     def __call__(self, x):
         if self.task not in ("binary", "multiclass", "regression"):
             raise ValueError("task must be binary,multiclass or regression")
+        x = x.astype(jnp.float32)  # logits/probabilities always f32
         if self.use_bias:
             bias = self.param("global_bias", zeros_init(), (1,))
             x = x + bias

@@ -18,6 +18,7 @@ import numpy as np
 
 from .activation import activation_fn
 from .base import (
+    compute_dtype,
     glorot_normal,
     glorot_uniform,
     l2_reg,
@@ -165,7 +166,10 @@ class CIN(nn.Module):
             l2_reg(self, self.l2_reg, W)
             # (B,F0,D) x (B,Fk,D) x (F0,Fk,S) -> (B,S,D): fused outer-product +
             # "conv1d" contraction (reference interaction.py:287-306).
-            z = jnp.einsum("bfd,bgd,fgs->bsd", inputs, hidden, W) + b[None, :, None]
+            # params cast to the compute dtype at use (bf16 under mixed
+            # precision; the (B,*,D) intermediates carry the input's dtype)
+            z = jnp.einsum("bfd,bgd,fgs->bsd", inputs, hidden,
+                           W.astype(inputs.dtype)) + b[None, :, None].astype(inputs.dtype)
             z = activation_fn(self.activation)(z, training=training)
             if self.split_half:
                 if i != len(self.layer_size) - 1:
@@ -323,21 +327,30 @@ class InteractingLayer(nn.Module):
         W_Key = self.param("key", tn, (E, D * H))
         W_Value = self.param("value", tn, (E, D * H))
 
+        # the (B,H,F,F) score/attention arrays are the layer's HBM traffic;
+        # under compute_dtype="bfloat16" they are stored bf16 (softmax math
+        # still runs f32 inside the fusion)
+        cd = compute_dtype()
+        x = inputs.astype(cd)
+
         def project(W):
-            p = jnp.dot(inputs, W, preferred_element_type=jnp.float32)  # (B,F,D*H)
+            p = jnp.dot(x, W.astype(cd), preferred_element_type=jnp.float32)
             # reference splits along last axis into H chunks of size D
-            return p.reshape(B, F, H, D).transpose(0, 2, 1, 3)  # (B,H,F,D)
+            return p.astype(cd).reshape(B, F, H, D).transpose(0, 2, 1, 3)
 
         Q, K, V = project(W_Query), project(W_Key), project(W_Value)
-        scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)
+        scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)  # cd-dtype storage
         if self.scaling:
             scores = scores / (D ** 0.5)
-        att = jax.nn.softmax(scores, axis=-1)
+        # softmax math in f32 (the casts fuse into the elementwise chain;
+        # the stored arrays stay in cd)
+        att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cd)
         result = jnp.einsum("bhfg,bhgd->bhfd", att, V)
         result = result.transpose(0, 2, 1, 3).reshape(B, F, H * D)
         if self.use_res:
             W_Res = self.param("res", tn, (E, D * H))
-            result = result + jnp.dot(inputs, W_Res, preferred_element_type=jnp.float32)
+            result = result + jnp.dot(x, W_Res.astype(cd),
+                                      preferred_element_type=jnp.float32).astype(cd)
         return jax.nn.relu(result)
 
 

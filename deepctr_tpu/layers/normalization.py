@@ -15,14 +15,18 @@ class LayerNormalization(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=self.axis, keepdims=True)
-        variance = jnp.mean(jnp.square(x - mean), axis=self.axis, keepdims=True)
+        # statistics in f32 regardless of the activation dtype (bf16 mean/
+        # variance over the feature axis loses too much precision); the
+        # casts fuse into the normalization chain, output keeps x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=self.axis, keepdims=True)
+        variance = jnp.mean(jnp.square(xf - mean), axis=self.axis, keepdims=True)
         std = jnp.sqrt(variance + self.eps)
-        out = (x - mean) / std
+        out = ((xf - mean) / std).astype(x.dtype)
         if self.scale:
             gamma = self.param("gamma", ones_init(), (x.shape[-1],))
-            out = out * gamma
+            out = out * gamma.astype(out.dtype)
         if self.center:
             beta = self.param("beta", zeros_init(), (x.shape[-1],))
-            out = out + beta
+            out = out + beta.astype(out.dtype)
         return out

@@ -20,6 +20,7 @@ import numpy as np
 
 from .base import (
     MASK_PADDING,
+    compute_dtype,
     glorot_uniform,
     l2_reg,
     ones_init,
@@ -400,9 +401,16 @@ class Transformer(nn.Module):
         W_Key = self.param("key", tn, (E, D * H))
         W_Value = self.param("value", tn, (E, D * H))
 
+        # under compute_dtype="bfloat16" the (B,H,T,T) score/weight arrays
+        # and projections are stored bf16; masking/softmax math runs f32
+        # inside the fusion (MASK_PADDING is bf16-representable)
+        cd = compute_dtype()
+        queries = queries.astype(cd)
+        keys = keys.astype(cd)
+
         def project(x, W, T):
-            p = jnp.dot(x, W, preferred_element_type=jnp.float32)
-            return p.reshape(B, T, H, D).transpose(0, 2, 1, 3)  # (B, H, T, D)
+            p = jnp.dot(x, W.astype(cd), preferred_element_type=jnp.float32)
+            return p.astype(cd).reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
         Q = project(queries, W_Query, T_q)
         K = project(keys, W_Key, T_k)
@@ -433,9 +441,10 @@ class Transformer(nn.Module):
             eye = jnp.eye(T_q, T_k, dtype=bool)[None, None]
             scores = jnp.where(eye, MASK_PADDING, scores)
 
+        scores = scores.astype(jnp.float32)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        weights = jax.nn.softmax(scores, axis=-1)
-        weights = weights * q_mask[:, None, :, None]
+        weights = jax.nn.softmax(scores, axis=-1).astype(cd)
+        weights = weights * q_mask[:, None, :, None].astype(cd)
         if self.dropout_rate:
             weights = nn.Dropout(rate=self.dropout_rate, deterministic=not training)(weights)
 
@@ -450,10 +459,13 @@ class Transformer(nn.Module):
         if self.use_feed_forward:
             fw1 = self.param("fw1", glorot_uniform(), (E, 4 * E))
             fw2 = self.param("fw2", glorot_uniform(), (4 * E, E))
-            hidden = jax.nn.relu(jnp.dot(result, fw1, preferred_element_type=jnp.float32))
+            hidden = jax.nn.relu(
+                jnp.dot(result, fw1.astype(result.dtype),
+                        preferred_element_type=jnp.float32).astype(result.dtype))
             if self.dropout_rate:
                 hidden = nn.Dropout(rate=self.dropout_rate, deterministic=not training)(hidden)
-            ffn_out = jnp.dot(hidden, fw2, preferred_element_type=jnp.float32)
+            ffn_out = jnp.dot(hidden, fw2.astype(result.dtype),
+                              preferred_element_type=jnp.float32).astype(result.dtype)
             if self.use_res:
                 result = result + ffn_out
             else:

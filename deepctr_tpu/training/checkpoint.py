@@ -188,6 +188,13 @@ def save_model(model, path):
         "weights": flax.serialization.to_bytes(model.get_variables()),
         "task": model.task,
         "num_outputs": model.num_outputs,
+        # numeric-config part of compile() that changes what predict()
+        # computes — must survive the round-trip (optimizer state doesn't;
+        # re-compile to continue training)
+        "compile": {
+            "embedding_dtype": model.embedding_dtype,
+            "compute_dtype": model.compute_dtype,
+        },
     }
     with open(path, "wb") as f:
         pickle.dump(payload, f)
@@ -203,6 +210,13 @@ def load_model(path):
         raise ValueError("Unknown model factory '{}'".format(payload["factory"]))
     kwargs = _decode(payload["kwargs"])
     model = factory(**kwargs)
+    cc = payload.get("compile", {})
+    if cc.get("embedding_dtype") or cc.get("compute_dtype"):
+        # restore the numeric config predict() depends on (the default
+        # compile below would reset it); optimizer is the default — re-
+        # compile with a real one to continue training
+        model.compile(embedding_dtype=cc.get("embedding_dtype"),
+                      compute_dtype=cc.get("compute_dtype"))
     _ensure_built_for_io(model)
     target = model.get_variables()
     restored = flax.serialization.from_bytes(target, payload["weights"])

@@ -82,6 +82,7 @@ class CTRModel:
         self.sparse_embedding_updates = False
         self.embedding_lr = 0.01
         self.embedding_dtype = None
+        self.compute_dtype = None
         self.pallas_scatter_updates = False
         self.bf16_stochastic_rounding = False
         self._gather_plan = None
@@ -100,7 +101,8 @@ class CTRModel:
     def compile(self, optimizer="adam", loss=None, metrics=None, loss_weights=None,
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
                 embedding_dtype=None, pallas_scatter_updates=False,
-                fused_gather_pool=None, bf16_stochastic_rounding=False):
+                fused_gather_pool=None, bf16_stochastic_rounding=False,
+                compute_dtype=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -108,8 +110,17 @@ class CTRModel:
 
         ``embedding_dtype="bfloat16"`` stores embedding tables (params named
         ``emb_*``) in bf16 — halves their HBM traffic (the dominant cost of
-        CTR training); activations upcast to f32 at first use. Pair with
-        ``embedding_split_optimizer()`` so optimizer accumulators stay f32."""
+        CTR training); activations upcast at first use. Pair with
+        ``embedding_split_optimizer()`` so optimizer accumulators stay f32.
+
+        ``compute_dtype="bfloat16"`` runs the forward/backward activations
+        in bf16 (mixed precision): parameters stay f32 master weights and
+        are cast at use, matmuls accumulate f32 on the MXU, activations —
+        including the (B,H,F,F) attention scores of AutoInt/BST and CIN's
+        feature maps, the dominant HBM traffic of those models at large
+        batch — are stored bf16. Logits, losses, softmax/LayerNorm math and
+        the optimizer always stay f32. Composes with ``embedding_dtype``
+        (bf16 tables then feed bf16 activations with no upcast)."""
         self.optimizer = opt_lib.resolve_optimizer(optimizer)
         if loss is None:
             loss = "binary_crossentropy" if self.task == "binary" else "mse"
@@ -129,6 +140,7 @@ class CTRModel:
         self.sparse_embedding_updates = sparse_embedding_updates
         self.embedding_lr = embedding_lr
         self.embedding_dtype = embedding_dtype
+        self.compute_dtype = compute_dtype
         self.pallas_scatter_updates = pallas_scatter_updates
         if bf16_stochastic_rounding and embedding_dtype != "bfloat16":
             raise ValueError(
@@ -161,6 +173,13 @@ class CTRModel:
             self._rebind_optimizer()
         return self
 
+    def _cd_scope(self):
+        """Activate this model's compute dtype for a trace (layers consult
+        layers.base.compute_dtype() at trace time)."""
+        from ..layers.base import compute_dtype_scope
+
+        return compute_dtype_scope(self.compute_dtype or jnp.float32)
+
     def _rebind_optimizer(self):
         params, model_state = self.state.params, self.state.model_state
         embed_state = None
@@ -184,9 +203,10 @@ class CTRModel:
     def _init_variables(self, x_canonical):
         sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
         self._rng, init_key, drop_key = jax.random.split(self._rng, 3)
-        variables = self.module.init(
-            {"params": init_key, "dropout": drop_key}, sample, training=False
-        )
+        with self._cd_scope():
+            variables = self.module.init(
+                {"params": init_key, "dropout": drop_key}, sample, training=False
+            )
         variables = flax.core.unfreeze(variables)
         params = variables.pop("params")
         variables.pop("losses", None)
@@ -223,9 +243,10 @@ class CTRModel:
             from . import sparse_embedding as se
 
             sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
-            self._gather_plan = se.discover_plan(
-                self.module, {"params": params, **model_state}, sample
-            )
+            with self._cd_scope():
+                self._gather_plan = se.discover_plan(
+                    self.module, {"params": params, **model_state}, sample
+                )
             dense_params, tables = se.split_tables(params, self._gather_plan)
             opt_state = self.optimizer.init(dense_params)
             embed_state = se.init_embed_state(tables)
@@ -341,11 +362,12 @@ class CTRModel:
 
             def loss_fn(params):
                 variables = {"params": params, **state.model_state}
-                out, mutated = module.apply(
-                    variables, xb, training=True,
-                    rngs={"dropout": rng},
-                    mutable=["batch_stats", "losses"],
-                )
+                with self._cd_scope():
+                    out, mutated = module.apply(
+                        variables, xb, training=True,
+                        rngs={"dropout": rng},
+                        mutable=["batch_stats", "losses"],
+                    )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
                 return task_loss + extra, (mutated, task_loss)
@@ -399,11 +421,12 @@ class CTRModel:
                 params = se.merge_tables(dense_p, tables)
                 variables = {"params": params, "gathered": rows_,
                              **state.model_state}
-                out, mutated = module.apply(
-                    variables, xb, training=True,
-                    rngs={"dropout": rng},
-                    mutable=["batch_stats", "losses"],
-                )
+                with self._cd_scope():
+                    out, mutated = module.apply(
+                        variables, xb, training=True,
+                        rngs={"dropout": rng},
+                        mutable=["batch_stats", "losses"],
+                    )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
                 extra = extra + se.lazy_l2(rows_, plan, sample_weight=wb)
@@ -447,7 +470,8 @@ class CTRModel:
 
                 (xb,) = constrain_batch(mesh, xb)
             variables = {"params": params, **model_state}
-            return module.apply(variables, xb, training=False)
+            with self._cd_scope():
+                return module.apply(variables, xb, training=False)
 
         return jax.jit(predict_step)
 
@@ -671,10 +695,13 @@ class CTRModel:
             lambda x: jnp.array(x, copy=True), self.state.model_state
         )
 
+        cd_scope = self._cd_scope
+
         @jax.jit
         def serve(batch):
-            return module.apply({"params": params, **model_state}, batch,
-                                training=False)
+            with cd_scope():
+                return module.apply({"params": params, **model_state}, batch,
+                                    training=False)
 
         return serve
 
