@@ -81,10 +81,16 @@ def main():
 
         states = {}
         if dm is not None:
-            states["dense"] = dm.state
-            st, l, _ = dstep(states["dense"], dxbs[0], yb, wb, key)
-            jax.block_until_ready(l)
-            states["dense"] = st
+            try:  # allocation is lazy — OOM surfaces at the warmup step
+                states["dense"] = dm.state
+                st, l, _ = dstep(states["dense"], dxbs[0], yb, wb, key)
+                jax.block_until_ready(l)
+                states["dense"] = st
+            except Exception as e:
+                dm = None
+                states.pop("dense", None)
+                print(json.dumps({"note": "dense step failed at V=%d: %s"
+                                  % (V, type(e).__name__)}), flush=True)
         states["sparse"] = sm.state
         st, l, _ = sstep(states["sparse"], sxbs[0], yb, wb, key)
         jax.block_until_ready(l)

@@ -21,14 +21,21 @@ import numpy as np
 
 def _bench_chained(step_fn, state0, steps, bytes_per_step):
     import jax
+    import numpy as np
 
     state = step_fn(state0)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
+    jax.block_until_ready(state)
+    # Force the client into synchronous (honest) mode: on the axon backend
+    # block_until_ready does NOT flush before the process's first
+    # device->host read — pre-read timings are dispatch-only fantasy
+    # (CLAUDE.md measurement discipline).
+    _ = int(np.asarray(jax.tree.leaves(state)[0]).reshape(-1)[0])
     state = state0
     t0 = time.perf_counter()
     for _ in range(steps):
         state = step_fn(state)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
+    jax.block_until_ready(state)
+    _ = int(np.asarray(jax.tree.leaves(state)[0]).reshape(-1)[0])
     dt = (time.perf_counter() - t0) / steps
     return bytes_per_step / dt / 1e9, dt
 

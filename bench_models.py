@@ -53,7 +53,11 @@ def _sequence_batch(batch, rng, maxlen=50):
     return cols, x
 
 
-def _measure(model, cols, x, batch, steps=30):
+def _measure(model, cols, x, batch, scan=10, calls=3):
+    """fit(steps_per_execution)-style dispatch: SCAN unrolled optimizer
+    steps per compiled call with fresh ids per step (bench.py pattern) —
+    the recommended production configuration, and it amortizes the axon
+    tunnel's ~1-2 ms per-execution dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -64,20 +68,30 @@ def _measure(model, cols, x, batch, steps=30):
     w = np.ones(batch, np.float32)
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
-    train_step = model._build_train_step()
-    xb = {k: jnp.asarray(v) for k, v in xc.items()}
-    yb, wb = jnp.asarray(y), jnp.asarray(w)
+    multi_step = model._build_multi_train_step(scan)
+    # stacked (scan, ...) inputs, fresh ids per unrolled step
+    xK = {}
+    for name, v in xc.items():
+        if np.issubdtype(v.dtype, np.integer):
+            hi = max(int(v.max()), 1) + 1
+            xK[name] = jnp.asarray(
+                rng.randint(np.min(v), hi, (scan,) + v.shape).astype(v.dtype))
+        else:
+            xK[name] = jnp.asarray(rng.rand(scan, *v.shape).astype(v.dtype))
+    yK = jnp.asarray(np.tile(y, (scan, 1, 1)))
+    wK = jnp.asarray(np.tile(w, (scan, 1)))
     key = jax.random.PRNGKey(0)
     state = model.state
-    state, loss, _ = train_step(state, xb, yb, wb, key)
-    jax.block_until_ready(loss)
+    state, losses, _ = multi_step(state, xK, yK, wK, key)
+    jax.block_until_ready(losses)
     # force honest sync mode (axon: pre-first-D2H timings are fantasy)
-    _ = float(jnp.asarray(loss).reshape(-1)[0])
+    _ = float(jnp.asarray(losses).reshape(-1)[0])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss, _ = train_step(state, xb, yb, wb, key)
-    jax.block_until_ready(loss)
-    return batch * steps / (time.perf_counter() - t0)
+    for _ in range(calls):
+        state, losses, _ = multi_step(state, xK, yK, wK, key)
+    jax.block_until_ready(losses)
+    _ = float(jnp.asarray(losses).reshape(-1)[-1])
+    return batch * scan * calls / (time.perf_counter() - t0)
 
 
 def main(selected=None, mp=False):

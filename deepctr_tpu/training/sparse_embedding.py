@@ -25,14 +25,20 @@ approximation. Tables accessed outside the lookup funnel (e.g. DSIN's
 direct session gathers) keep working — they simply stay on the dense path.
 Opt in with ``model.compile(..., sparse_embedding_updates=True)``.
 
-Performance note (measured, TPU v5e): this path is the right asymptotic
-design (per-step traffic O(batch-rows) instead of O(vocab)), and it is the
-only feasible design when tables no longer fit dense per-step updates
-(vocab >= 10M rows). For small embedding dims (E=16) on vocabs that DO fit,
-XLA currently fuses the hoisted row gathers/scatter-updates into
-latency-bound per-row loops, making it slower than the dense path — keep
-the default dense path there. A Pallas double-buffered scatter kernel that
-bypasses the XLA fusion is the planned fix.
+Performance note (measured, TPU v5e, honest timing): this path is the
+right asymptotic design (per-step table traffic O(batch-rows) instead of
+O(vocab)), and it is the ONLY feasible design when dense per-step updates
+no longer fit HBM (10M-row tables: bench_large_vocab.py trains 1.28B
+embedding params where dense adam cannot allocate). At small vocab the
+dense path wins on physics, not on implementation: at V=100k a full-table
+pass costs V*E sequential bytes, while the engine pays a sorted scatter
+read-modify-write per unique touched row — random small-row RMWs are
+line-granular and scatter-serialized, so below the crossover vocab
+(bench_crossover.py) full-table streaming is cheaper. The Pallas row-DMA
+scatter (ops/scatter.py, ``use_pallas``) does not change this: 512-byte
+line DMAs cost the same physics; it stays opt-in for determinism
+experiments. Keep the default dense path at criteo-like vocabs and enable
+the engine for large-vocab/production-scale tables.
 """
 from __future__ import annotations
 
