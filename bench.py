@@ -117,6 +117,33 @@ def main():
     _ = float(buf[0])
     hbm_gbps = n_pass * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9
 
+    # Random-row access floor, self-measured in THIS window, at the step's
+    # ACTUAL access pattern: 26 per-table takes of BATCH rows each (NOT one
+    # stacked 26*BATCH take — a single giant gather/scatter is ~10x worse
+    # per row than the per-table ops the step emits; see CLAUDE.md round-2
+    # findings). Scatter costs about the same per row in-step.
+    rtab = jnp.zeros((26, 100_000, 16), jnp.bfloat16)
+    rids = jnp.asarray(
+        np.random.RandomState(7).randint(0, 100_000, (26, BATCH))
+        .astype(np.int32))
+
+    @jax.jit
+    def take(t, i):
+        s = jnp.float32(0)
+        for k in range(26):
+            s = s + jnp.take(t[k], i[k], axis=0).astype(jnp.float32).sum()
+        return s
+
+    s = take(rtab, rids)
+    jax.block_until_ready(s)
+    _ = float(s)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        s = take(rtab, rids)
+    jax.block_until_ready(s)
+    _ = float(s)
+    row_ns = (time.perf_counter() - t0) / 5 / (26 * BATCH) * 1e9
+
     # Traffic model per step (the workload is HBM-bound on table traffic):
     #   bf16 table grads: zero-init write + read     2 * 26*100k*16*2 B
     #   bf16 table params: read + write              2 * 26*100k*16*2 B
@@ -126,6 +153,20 @@ def main():
     bytes_per_step = (2 * table_elems * 2 + 2 * table_elems * 2 +
                       2 * 26 * 100_000 * 4 + BATCH * 1e4)
     roofline_examples_per_s = BATCH * hbm_gbps * 1e9 / bytes_per_step
+    # Row-access bound (round-2 microbenches, tools/bench_rowtraffic.py +
+    # bench_scatter_paths.py): the step touches 26*BATCH random rows in the
+    # forward gather and again in the backward scatter, each costing
+    # ~row_ns when served in ISOLATION (measured equal for XLA gather,
+    # scatter-into-zeros, the VJP pattern, and a Pallas line-DMA kernel —
+    # HBM random line service, not a lowering artifact). This charge plus
+    # the sequential traffic gives the NO-OVERLAP bound: what the step
+    # would cost if no row DMA overlapped any other work. A fraction > 1
+    # means the compiled multi-step scan is overlapping random row DMAs
+    # with each other / with streaming traffic — free throughput the
+    # isolated microbench cannot see.
+    step_no_overlap_s = (2 * 26 * BATCH * row_ns * 1e-9 +
+                         bytes_per_step / (hbm_gbps * 1e9))
+    row_bound_examples_per_s = BATCH / step_no_overlap_s
     print(json.dumps({
         "metric": "deepfm_criteo_train_examples_per_s_per_chip",
         "value": round(examples_per_s, 1),
@@ -143,6 +184,12 @@ def main():
         # tools/bench_rowtraffic.py for the row-access microbench).
         "roofline_examples_per_s_upper": round(roofline_examples_per_s, 1),
         "roofline_fraction": round(examples_per_s / roofline_examples_per_s, 3),
+        "random_row_ns_isolated": round(row_ns, 2),
+        "row_no_overlap_examples_per_s": round(row_bound_examples_per_s, 1),
+        # >1 = the step overlaps random row DMAs that the isolated
+        # microbench serves serially; between the two bounds is physics.
+        "row_overlap_factor": round(
+            examples_per_s / row_bound_examples_per_s, 3),
     }))
 
 

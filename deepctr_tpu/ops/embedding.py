@@ -95,12 +95,29 @@ def _pool_kernel(ids_ref, slot_ref, mask_ref, table_ref, out_ref, scratch,
     if k == 1:
         rows = scratch[:].reshape(_TILE_B, T, E)
     else:
-        # select each element's row from its line: one-hot over the k
-        # sub-line groups (VPU contraction; no dynamic sublane indexing)
-        lines = scratch[:].reshape(_TILE_B, T, k, E)
-        sel = jax.lax.broadcasted_iota(jnp.int32, (_TILE_B, T, k), 2)
-        onehot = (sel == slot_ref[:][:, :, None]).astype(lines.dtype)
-        rows = jnp.sum(lines * onehot[:, :, :, None], axis=2)
+        # Select each element's row from its 128-lane line. A direct
+        # (N, 128) -> (N, k, E) reshape splits the LANE dim, which Mosaic
+        # cannot lower ("infer-vector-layout: unsupported shape cast"),
+        # so: (1) zero every lane outside the element's E-wide sub-group
+        # with a lane-iota mask, (2) fold the 128 lanes down to E with a
+        # constant 0/1 (128, E) matmul on the MXU — the one lane-space
+        # permutation that lowers cleanly. Reshapes below only split or
+        # merge sublane dims (lane dim untouched), which Mosaic supports.
+        lines = scratch[:].reshape(_TILE_B, T, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_TILE_B, T, 128), 2)
+        sel = (lane // E) == slot_ref[:][:, :, None]
+        picked = jnp.where(sel, lines, jnp.zeros_like(lines))
+        flat = picked.reshape(_TILE_B * T, 128).astype(jnp.float32)
+        src = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
+        dst = jax.lax.broadcasted_iota(jnp.int32, (128, E), 1)
+        fold = (src % E == dst).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            flat, fold, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # HIGHEST: the MXU's default bf16 pass would round the row
+            # values this permutation matmul merely moves between lanes
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(_TILE_B, T, E).astype(scratch.dtype)
     m = mask_ref[:][:, :, None]  # (TILE_B, T, 1)
     if combiner == "max":
         out_ref[:] = jnp.max(jnp.where(m > 0, rows, -1e9), axis=1)

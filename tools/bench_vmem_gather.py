@@ -55,7 +55,7 @@ def make_vmem_gather(V, E, C, dtype, interpret=False):
             scratch[pl.ds(dst, 8), :] = lines_ref[pl.ds(base, 8), :]
             return 0
 
-        jax.lax.fori_loop(0, C, body, 0, unroll=8)
+        jax.lax.fori_loop(0, C, body, 0)
         tile = scratch[:].reshape(C, R, E)
         sel = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1)
         onehot = (sel == slot_ref[:].reshape(C)[:, None]).astype(tile.dtype)
