@@ -53,6 +53,7 @@ class Estimator:
         loss = "binary_crossentropy" if task == "binary" else "mse"
         self.model.compile(optimizer, loss)
         self._global_step = 0
+        self._multi_train_step = None
         if self.model_dir:
             self._maybe_restore()
 
@@ -72,13 +73,53 @@ class Estimator:
 
     # ------------------------------------------------------------------
     def train(self, input_fn, steps: Optional[int] = None, max_steps: Optional[int] = None,
-              hooks=None):
+              hooks=None, steps_per_execution: int = 1):
+        """Train from an input_fn (reference estimator train contract).
+
+        ``steps_per_execution=K`` scans K optimizer steps inside ONE
+        compiled call over K stacked batches (same machinery as
+        ``CTRModel.fit``): the host loop then runs once per K steps
+        instead of once per step, which matters on a remote TPU where
+        each dispatch costs ~1-2 ms. Leftover batches (< K at the end of
+        the input) run through the single-step program.
+        """
         import jax
+        import jax.numpy as jnp
 
         from ..features import canonicalize_batch
 
+        K = max(1, int(steps_per_execution))
         step_count = 0
         pad_to = None  # fixed device batch shape -> exactly one XLA program
+        buf = []  # up to K canonicalized (x, y, w) batches
+
+        def run_single(xc, yc, w):
+            if self.model._train_step is None:
+                self.model._train_step = self.model._build_train_step()
+            self.model._rng, rng = jax.random.split(self.model._rng)
+            self.model.state, _, _ = self.model._train_step(
+                self.model.state,
+                {k: jnp.asarray(v) for k, v in xc.items()},
+                jnp.asarray(yc), jnp.asarray(w), rng,
+            )
+
+        def flush(buf):
+            if len(buf) == K and K > 1:
+                if self._multi_train_step is None:
+                    self._multi_train_step = \
+                        self.model._build_multi_train_step(K)
+                xK = {k: jnp.asarray(np.stack([b[0][k] for b in buf]))
+                      for k in buf[0][0]}
+                yK = jnp.asarray(np.stack([b[1] for b in buf]))
+                wK = jnp.asarray(np.stack([b[2] for b in buf]))
+                self.model._rng, rng = jax.random.split(self.model._rng)
+                self.model.state, _, _ = self._multi_train_step(
+                    self.model.state, xK, yK, wK, rng)
+            else:
+                for xc, yc, w in buf:
+                    run_single(xc, yc, w)
+            buf.clear()
+
         for xb, yb in input_fn():
             if yb is None:
                 raise ValueError("train() requires labels from the input_fn")
@@ -98,22 +139,16 @@ class Estimator:
                 yc = np.concatenate([yc, np.repeat(yc[-1:], pad, axis=0)])
                 w = np.concatenate([w, np.zeros(pad, np.float32)])
             self.model._ensure_built(xc)
-            if self.model._train_step is None:
-                self.model._train_step = self.model._build_train_step()
-            import jax.numpy as jnp
-
-            self.model._rng, rng = jax.random.split(self.model._rng)
-            self.model.state, loss, task_loss = self.model._train_step(
-                self.model.state,
-                {k: jnp.asarray(v) for k, v in xc.items()},
-                jnp.asarray(yc), jnp.asarray(w), rng,
-            )
+            buf.append((xc, yc, w))
+            if len(buf) == K:
+                flush(buf)
             step_count += 1
             self._global_step += 1
             if steps is not None and step_count >= steps:
                 break
             if max_steps is not None and self._global_step >= max_steps:
                 break
+        flush(buf)  # leftover (< K) batches run single-step
         self._maybe_save()
         return self
 

@@ -102,3 +102,30 @@ def test_estimator_tfrecord_end_to_end():
     result = est.evaluate(input_fn_tfrecord(TFRECORD_TRAIN, desc, "label",
                                             batch_size=128, shuffle_factor=0))
     assert 0.0 <= result["AUC"] <= 1.0
+
+
+def test_estimator_train_steps_per_execution():
+    """steps_per_execution=K scans K steps per compiled call and reaches
+    the same weights as the per-step loop (same batches, same rng use)."""
+    df, cols, features = _pandas_fixture(n=64)
+
+    def make():
+        return DeepFMEstimator(cols, cols, dnn_hidden_units=(8,), seed=7)
+
+    # 8 batches of 8: K=4 -> two multi-step calls; K=3 -> 2 flushes + 2 singles
+    fn = lambda: input_fn_pandas(df, features, "label", batch_size=8,
+                                 num_epochs=1, shuffle=False)
+    est1 = make()
+    est1.train(fn())
+    est_k = make()
+    est_k.train(fn(), steps_per_execution=4)
+    assert est_k._global_step == est1._global_step == 8
+
+    eval_fn = input_fn_pandas(df, features, "label", batch_size=32)
+    r1, rk = est1.evaluate(eval_fn), est_k.evaluate(eval_fn)
+    np.testing.assert_allclose(r1["LogLoss"], rk["LogLoss"], rtol=2e-3)
+
+    # leftover batches (< K) run single-step and still count
+    est_r = make()
+    est_r.train(fn(), steps_per_execution=3)
+    assert est_r._global_step == 8
