@@ -339,13 +339,22 @@ class InteractingLayer(nn.Module):
             return p.astype(cd).reshape(B, F, H, D).transpose(0, 2, 1, 3)
 
         Q, K, V = project(W_Query), project(W_Key), project(W_Value)
-        scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)  # cd-dtype storage
-        if self.scaling:
-            scores = scores / (D ** 0.5)
-        # softmax math in f32 (the casts fuse into the elementwise chain;
-        # the stored arrays stay in cd)
-        att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cd)
-        result = jnp.einsum("bhfg,bhgd->bhfd", att, V)
+        from ..ops import attention as fused_ops
+        if fused_ops.fused_attention_enabled():
+            # fused VMEM-resident attention over the field axis: the
+            # (B,H,F,F) score/weight arrays never exist in HBM
+            result = fused_ops.fused_attention(
+                Q, K, V, key_mask=None,
+                scale=(1.0 / (D ** 0.5)) if self.scaling else 1.0,
+                interpret=fused_ops.fused_attention_interpret())
+        else:
+            scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)  # cd-dtype storage
+            if self.scaling:
+                scores = scores / (D ** 0.5)
+            # softmax math in f32 (the casts fuse into the elementwise
+            # chain; the stored arrays stay in cd)
+            att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cd)
+            result = jnp.einsum("bhfg,bhgd->bhfd", att, V)
         result = result.transpose(0, 2, 1, 3).reshape(B, F, H * D)
         if self.use_res:
             W_Res = self.param("res", tn, (E, D * H))

@@ -416,6 +416,22 @@ class Transformer(nn.Module):
         K = project(keys, W_Key, T_k)
         V = project(keys, W_Value, T_k)
 
+        from ..ops import attention as fused_ops
+        if (fused_ops.fused_attention_enabled()
+                and self.attention_type == "scaled_dot_product"
+                and T_q == T_k
+                and (not self.dropout_rate or not training)):
+            # fused VMEM-resident attention: the (B,H,T,T) score/weight
+            # arrays never exist in HBM. Query-mask zeroing of weight
+            # rows == zeroing output rows, applied after the kernel.
+            result = fused_ops.fused_attention(
+                Q, K, V, key_mask=k_mask, scale=1.0 / (D ** 0.5),
+                blinding=self.blinding,
+                interpret=fused_ops.fused_attention_interpret())
+            result = result * q_mask[:, None, :, None].astype(result.dtype)
+            return self._post_attention(result, queries, B, T_q, D, H,
+                                        training)
+
         if self.attention_type == "scaled_dot_product":
             scores = jnp.einsum("bhqd,bhkd->bhqk", Q, K) / (D ** 0.5)
         elif self.attention_type == "cos":
@@ -449,6 +465,11 @@ class Transformer(nn.Module):
             weights = nn.Dropout(rate=self.dropout_rate, deterministic=not training)(weights)
 
         result = jnp.einsum("bhqk,bhkd->bhqd", weights, V)
+        return self._post_attention(result, queries, B, T_q, D, H, training)
+
+    def _post_attention(self, result, queries, B, T_q, D, H, training):
+        """Shared tail (res/LN/FFN/pooling); result is (B,H,T,D)."""
+        E = queries.shape[-1]
         result = result.transpose(0, 2, 1, 3).reshape(B, T_q, H * D)
 
         if self.use_res:

@@ -102,7 +102,7 @@ class CTRModel:
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
                 embedding_dtype=None, pallas_scatter_updates=False,
                 fused_gather_pool=None, bf16_stochastic_rounding=False,
-                compute_dtype=None):
+                compute_dtype=None, fused_attention=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -160,6 +160,17 @@ class CTRModel:
 
             set_fused_gather_pool(
                 fused_gather_pool,
+                interpret=jax.default_backend() == "cpu",
+            )
+        if fused_attention is not None:
+            # process-wide switch: Transformer (scaled_dot_product) and
+            # InteractingLayer attention through the fused VMEM-resident
+            # Pallas kernel (ops/attention.py) — the (B,H,T,T) arrays
+            # never hit HBM
+            from ..ops.attention import set_fused_attention
+
+            set_fused_attention(
+                fused_attention,
                 interpret=jax.default_backend() == "cpu",
             )
         self._gather_plan = None
