@@ -190,3 +190,32 @@ def test_grad_parity_degenerate_rows():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dsin_parity_fused_vs_xla():
+    """DSIN's per-session Transformer (with BiasEncoding + sess masks)
+    through the fused kernel matches the XLA path."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from models.DSIN_test import get_xy_fd
+
+    from deepctr_tpu.models import DSIN
+    from deepctr_tpu.ops.attention import set_fused_attention
+
+    x, y, cols, behaviors = get_xy_fd()
+
+    def run(fused):
+        try:
+            m = DSIN(cols, behaviors, sess_max_count=2, bias_encoding=True,
+                     dnn_hidden_units=(8,), att_embedding_size=4,
+                     att_head_num=2, seed=1024)
+            m.compile("adam", "binary_crossentropy", fused_attention=fused)
+            h = m.fit(x, y, batch_size=3, epochs=2, shuffle=False, verbose=0)
+            return h.history["loss"], m.predict(x)
+        finally:
+            set_fused_attention(False)
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    np.testing.assert_allclose(l1, l0, rtol=2e-4)
+    np.testing.assert_allclose(p1, p0, rtol=2e-4, atol=1e-6)
