@@ -1,0 +1,81 @@
+"""Portable serving artifacts: StableHLO export / load.
+
+The reference's serving story is the Estimator ``PredictOutput`` export
+(reference estimator/utils.py:91-117), consumed by TF Serving as a
+SavedModel. The TPU-native equivalent is a serialized ``jax.export``
+artifact: the jitted inference function — weights baked in — lowered to
+StableHLO bytes that any later process can load and call (CPU/TPU, no
+model-building Python required, no framework version lock-in at the
+layer-code level).
+
+    model.fit(x, y, ...)
+    from deepctr_tpu import serving
+    serving.export_stablehlo(model, "model.shlo", example_batch=x)
+
+    # ... later, in a server process:
+    serve = serving.load_stablehlo("model.shlo")
+    preds = serve(canonicalize_batch(batch, feature_columns))
+
+The batch dimension is exported SYMBOLICALLY (``jax.export`` shape
+polymorphism), so one artifact serves any batch size.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+from .features import canonicalize_batch
+
+
+def export_stablehlo(model, path, example_batch, polymorphic_batch=True):
+    """Serialize ``model``'s inference function to a StableHLO artifact.
+
+    example_batch: a feature dict (raw or canonical) used only for each
+    input's per-example shape and dtype. With ``polymorphic_batch`` the
+    leading dimension is exported as a symbol, so the artifact accepts
+    any batch size; set it False to pin the example batch size (slightly
+    more compiler freedom).
+    """
+    serve = model.export_inference_fn()
+    xc = canonicalize_batch(example_batch, model.feature_columns)
+
+    if polymorphic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        spec = {
+            k: jax.ShapeDtypeStruct((b,) + v.shape[1:], v.dtype)
+            for k, v in xc.items()
+        }
+    else:
+        spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                for k, v in xc.items()}
+
+    exported = jax_export.export(serve)(spec)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return os.path.getsize(path)
+
+
+def load_stablehlo(path):
+    """Load a serving artifact; returns ``fn(canonical_batch) -> preds``.
+
+    The artifact embeds the weights and the full compute graph — the
+    model-building code is not needed in the serving process.
+    """
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+
+    def serve(batch):
+        return exported.call(batch)
+
+    return serve
+
+
+def predict_with_artifact(path, batch, feature_columns):
+    """Convenience: canonicalize a raw feature dict and run the artifact."""
+    serve = load_stablehlo(path)
+    xc = canonicalize_batch(batch, feature_columns)
+    return np.asarray(serve(xc))
