@@ -64,6 +64,19 @@ _MM = jax.lax.Precision.DEFAULT
 # tile is G-fold larger than needed) while MXU/grid overhead shrinks
 _G_FWD = 16
 _G_BWD = 16
+# the bwd kernel holds ~6 (G*T, G*T) f32 tiles live; cap one tile at 4 MB
+# (~24 MB live, well under v5e's 128 MB VMEM) so an oversized T falls
+# back to XLA instead of dying in Mosaic with a VMEM-exceeded error.
+# At G=16 this accepts T<=64 (covers BST/DSIN/AutoInt shapes) and
+# rejects e.g. T=128.
+_MAX_TILE_BYTES = 4 * 1024 * 1024
+
+
+def fused_attention_supported(T: int, D: int) -> bool:
+    """Shapes the VMEM-resident kernel handles; others use the XLA path."""
+    Tp = T + ((-T) % 8)
+    n = max(_G_FWD, _G_BWD) * Tp
+    return n * n * 4 <= _MAX_TILE_BYTES
 
 # process-wide funnel switch (same pattern as ops.embedding)
 _FUSED_ATTN = {"enabled": False, "interpret": False}
@@ -244,6 +257,10 @@ def fused_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
     """
     B, H, T, D = q.shape
     BH = B * H
+    if not fused_attention_supported(T, D):
+        # long-T shapes would exceed the kernel's VMEM tile budget —
+        # serve them with the XLA path instead of failing to compile
+        return reference_attention(q, k, v, key_mask, scale, blinding)
 
     qf = q.reshape(BH, T, D)
     kf = k.reshape(BH, T, D)
@@ -256,9 +273,12 @@ def fused_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
         km = jnp.ones((BH, T), jnp.float32)
 
     # static padding: T to sublane multiples, BH to the block size;
-    # padded keys get the -1 sentinel (strictly below masked real keys)
+    # padded keys get the -1 sentinel (strictly below masked real keys).
+    # lcm: BHp must divide by BOTH block sizes (fwd and bwd kernels)
+    import math
+
     Tp = T + ((-T) % 8)
-    G = max(_G_FWD, _G_BWD)
+    G = math.lcm(_G_FWD, _G_BWD)
     BHp = BH + ((-BH) % G)
     if Tp != T:
         qf = _pad_to(qf, 8, 1)

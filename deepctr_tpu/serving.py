@@ -30,7 +30,8 @@ from jax import export as jax_export
 from .features import canonicalize_batch
 
 
-def export_stablehlo(model, path, example_batch, polymorphic_batch=True):
+def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
+                     platforms=("cpu", "tpu")):
     """Serialize ``model``'s inference function to a StableHLO artifact.
 
     example_batch: a feature dict (raw or canonical) used only for each
@@ -38,21 +39,40 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True):
     leading dimension is exported as a symbol, so the artifact accepts
     any batch size; set it False to pin the example batch size (slightly
     more compiler freedom).
+
+    ``platforms`` is baked into the artifact — the default covers the
+    export-on-TPU / serve-on-CPU flow; exporting only for the current
+    backend would make the artifact raise at call time elsewhere.
     """
-    serve = model.export_inference_fn()
-    xc = canonicalize_batch(example_batch, model.feature_columns)
+    # The fused Pallas funnels must not leak into the artifact: a
+    # tpu_custom_call pins it to one platform/Mosaic version, and the
+    # kernels' block-padding arithmetic does not trace under symbolic
+    # batch dims. Export always traces the plain-XLA paths.
+    from .ops import attention as attn_ops
+    from .ops import embedding as emb_ops
 
-    if polymorphic_batch:
-        (b,) = jax_export.symbolic_shape("b")
-        spec = {
-            k: jax.ShapeDtypeStruct((b,) + v.shape[1:], v.dtype)
-            for k, v in xc.items()
-        }
-    else:
-        spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
-                for k, v in xc.items()}
+    attn_was = attn_ops.fused_attention_enabled()
+    pool_was = emb_ops.fused_pool_enabled()
+    attn_ops.set_fused_attention(False)
+    emb_ops.set_fused_gather_pool(False)
+    try:
+        serve = model.export_inference_fn()
+        xc = canonicalize_batch(example_batch, model.feature_columns)
 
-    exported = jax_export.export(serve)(spec)
+        if polymorphic_batch:
+            (b,) = jax_export.symbolic_shape("b")
+            spec = {
+                k: jax.ShapeDtypeStruct((b,) + v.shape[1:], v.dtype)
+                for k, v in xc.items()
+            }
+        else:
+            spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                    for k, v in xc.items()}
+
+        exported = jax_export.export(serve, platforms=list(platforms))(spec)
+    finally:
+        attn_ops.set_fused_attention(attn_was)
+        emb_ops.set_fused_gather_pool(pool_was)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
@@ -74,8 +94,22 @@ def load_stablehlo(path):
     return serve
 
 
+# (path, mtime) -> loaded serve fn; the artifact embeds all weights, so
+# re-deserializing per call would pay a full weight read per request
+_ARTIFACT_CACHE: dict = {}
+
+
 def predict_with_artifact(path, batch, feature_columns):
-    """Convenience: canonicalize a raw feature dict and run the artifact."""
-    serve = load_stablehlo(path)
+    """Convenience: canonicalize a raw feature dict and run the artifact.
+
+    The deserialized artifact is cached by (path, mtime); server loops
+    should still prefer one explicit ``load_stablehlo`` call.
+    """
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    serve = _ARTIFACT_CACHE.get(key)
+    if serve is None:
+        _ARTIFACT_CACHE.clear()  # drop stale versions of re-exported files
+        serve = _ARTIFACT_CACHE[key] = load_stablehlo(path)
     xc = canonicalize_batch(batch, feature_columns)
     return np.asarray(serve(xc))

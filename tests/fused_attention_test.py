@@ -219,3 +219,16 @@ def test_dsin_parity_fused_vs_xla():
     l1, p1 = run(True)
     np.testing.assert_allclose(l1, l0, rtol=2e-4)
     np.testing.assert_allclose(p1, p0, rtol=2e-4, atol=1e-6)
+
+
+def test_long_t_falls_back_to_xla():
+    """T beyond the VMEM tile budget must serve through the XLA path
+    (identical numerics), not fail."""
+    from deepctr_tpu.ops.attention import fused_attention_supported
+
+    assert fused_attention_supported(50, 8)
+    assert not fused_attention_supported(128, 8)
+    q, k, v, mask = _data(2, 2, 128, 8, seed=9)
+    out = fused_attention(q, k, v, mask, scale=0.25, interpret=True)
+    ref = reference_attention(q, k, v, mask, scale=0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

@@ -72,3 +72,44 @@ def test_artifact_outlives_training(tmp_path):
     # while the live model HAS moved
     assert not np.allclose(model.predict(x).reshape(-1),
                            before.reshape(-1), rtol=1e-4)
+
+
+def test_export_with_fused_flags_enabled(tmp_path):
+    """compile(fused_attention=True, fused_gather_pool=True) must not leak
+    Pallas custom calls (or their padding arithmetic, which cannot trace
+    under a symbolic batch dim) into the exported artifact."""
+    from deepctr_tpu import SparseFeat, VarLenSparseFeat
+    from deepctr_tpu.models import BST
+    from deepctr_tpu.ops.attention import (fused_attention_enabled,
+                                           set_fused_attention)
+
+    rng = np.random.RandomState(0)
+    maxlen, n = 6, 24
+    cols = [SparseFeat("item", 30, 16), SparseFeat("cate", 8, 16),
+            VarLenSparseFeat(SparseFeat("hist_item", 30, 16,
+                                        embedding_name="item"),
+                             maxlen=maxlen, length_name="seq_length"),
+            VarLenSparseFeat(SparseFeat("hist_cate", 8, 16,
+                                        embedding_name="cate"),
+                             maxlen=maxlen, length_name="seq_length")]
+    x = {"item": rng.randint(1, 30, n), "cate": rng.randint(1, 8, n),
+         "hist_item": rng.randint(1, 30, (n, maxlen)),
+         "hist_cate": rng.randint(1, 8, (n, maxlen)),
+         "seq_length": rng.randint(1, maxlen + 1, n)}
+    y = rng.randint(0, 2, n).astype("float32")
+    try:
+        m = BST(cols, ["item", "cate"], att_head_num=2,
+                dnn_hidden_units=(8,), seed=3)
+        m.compile("adam", "binary_crossentropy", fused_attention=True,
+                  fused_gather_pool=True)
+        m.fit(x, y, batch_size=12, epochs=1, verbose=0)
+        path = str(tmp_path / "bst.shlo")
+        serving.export_stablehlo(m, path, example_batch=x)  # must not raise
+        got = serving.predict_with_artifact(path, x, cols)
+        assert got.shape[0] == n and not np.isnan(got).any()
+        # flags restored after export
+        assert fused_attention_enabled()
+    finally:
+        set_fused_attention(False)
+        from deepctr_tpu.ops.embedding import set_fused_gather_pool
+        set_fused_gather_pool(False)
