@@ -187,3 +187,111 @@ def read_tfrecord_examples(filenames, feature_description) -> Dict[str, np.ndarr
             arr = arr.reshape((-1,) + want)
         out[name] = arr
     return out
+
+
+# ----------------------------- TFRecord WRITER ------------------------------
+# The reference ships examples/gen_tfrecords.py (tf.python_io.TFRecordWriter)
+# to produce the estimator tier's input files; this is the no-TensorFlow
+# equivalent. Unlike the reader above, the writer DOES emit the masked
+# crc32c checksums — TF's own TFRecordDataset verifies them on read.
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), table-driven pure Python."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    table = _CRC32C_TABLE
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delimited(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _encode_feature(values) -> bytes:
+    """tf.train.Feature from a list of ints / floats / bytes.
+
+    Matches TF's proto2 serialization (repeated scalars unpacked)."""
+    if len(values) and isinstance(values[0], (bytes, str)):
+        inner = b"".join(
+            _len_delimited(1, v.encode() if isinstance(v, str) else v)
+            for v in values
+        )
+        return _len_delimited(1, inner)  # bytes_list = field 1
+    if all(isinstance(v, (int, np.integer)) for v in values):
+        inner = b"".join(
+            _tag(1, 0) + _varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in values
+        )
+        return _len_delimited(3, inner)  # int64_list = field 3
+    inner = b"".join(
+        _tag(1, 5) + struct.pack("<f", float(v)) for v in values
+    )
+    return _len_delimited(2, inner)  # float_list = field 2
+
+
+def encode_example(feature_dict) -> bytes:
+    """Serialize {name: scalar | list | 1-D array} as tf.train.Example."""
+    entries = []
+    for name, values in feature_dict.items():
+        if isinstance(values, (bytes, str, int, float, np.integer, np.floating)):
+            values = [values]
+        values = list(np.asarray(values).reshape(-1)) if not (
+            len(values) and isinstance(values[0], (bytes, str))
+        ) else list(values)
+        entry = (_len_delimited(1, name.encode())
+                 + _len_delimited(2, _encode_feature(values)))
+        entries.append(_len_delimited(1, entry))  # Features.feature map entry
+    features = b"".join(entries)
+    return _len_delimited(1, features)  # Example.features = field 1
+
+
+def write_tfrecord_examples(path: str, feature_dicts) -> int:
+    """Write an iterable of feature dicts as a TFRecord file of Examples.
+
+    Reference equivalent: examples/gen_tfrecords.py write_tfrecord
+    (tf.python_io.TFRecordWriter). Returns the number of records written.
+    """
+    n = 0
+    with open(path, "wb") as f:
+        for fd in feature_dicts:
+            payload = encode_example(fd)
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(payload)
+            f.write(struct.pack("<I", _masked_crc(payload)))
+            n += 1
+    return n

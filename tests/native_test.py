@@ -62,3 +62,73 @@ def test_native_tfrecord_scan_matches_python(lib):
     assert len(native_payloads) == len(py_payloads) > 0
     for a, b in zip(native_payloads, py_payloads):
         assert a == b
+
+
+class TestTFRecordWriter:
+    """write_tfrecord_examples produces spec-correct files: our reader,
+    the C++ frame scanner, and TensorFlow's own parser all read them."""
+
+    def _write(self, path):
+        from deepctr_tpu.estimator.tfrecord import write_tfrecord_examples
+
+        rows = [
+            {"c1": 3, "c2": [1, 2, 7], "d1": 0.5, "label": 1.0},
+            {"c1": 0, "c2": [4, 5, 6], "d1": -2.25, "label": 0.0},
+            {"c1": 2 ** 40, "c2": [0, 0, 1], "d1": 3.0, "label": 1.0},
+        ]
+        n = write_tfrecord_examples(str(path), rows)
+        assert n == 3
+        return rows
+
+    def test_roundtrip_own_reader(self, tmp_path):
+        from deepctr_tpu.estimator import FixedLenFeature
+        from deepctr_tpu.estimator.tfrecord import read_tfrecord_examples
+
+        path = tmp_path / "t.tfrecords"
+        rows = self._write(path)
+        spec = {
+            "c1": FixedLenFeature([1], "int64"),
+            "c2": FixedLenFeature([3], "int64"),
+            "d1": FixedLenFeature([1], "float32"),
+            "label": FixedLenFeature([1], "float32"),
+        }
+        out = read_tfrecord_examples(str(path), spec)
+        np.testing.assert_array_equal(
+            out["c1"].reshape(-1), [r["c1"] for r in rows])
+        np.testing.assert_array_equal(
+            out["c2"], [r["c2"] for r in rows])
+        np.testing.assert_allclose(
+            out["d1"].reshape(-1), [r["d1"] for r in rows], rtol=1e-6)
+
+    def test_tensorflow_reads_our_files(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+
+        path = tmp_path / "t.tfrecords"
+        rows = self._write(path)
+        spec = {
+            "c1": tf.io.FixedLenFeature([1], tf.int64),
+            "c2": tf.io.FixedLenFeature([3], tf.int64),
+            "d1": tf.io.FixedLenFeature([1], tf.float32),
+            "label": tf.io.FixedLenFeature([1], tf.float32),
+        }
+        ds = tf.data.TFRecordDataset(str(path))  # verifies masked CRCs
+        got = [tf.io.parse_single_example(raw, spec) for raw in ds]
+        assert len(got) == 3
+        for r, g in zip(rows, got):
+            assert int(g["c1"].numpy()[0]) == r["c1"]
+            np.testing.assert_array_equal(g["c2"].numpy(), r["c2"])
+            np.testing.assert_allclose(g["d1"].numpy()[0], r["d1"],
+                                       rtol=1e-6)
+
+    def test_native_scanner_reads_our_files(self, tmp_path):
+        from deepctr_tpu import native
+        from deepctr_tpu.estimator.tfrecord import iter_tfrecord_payloads
+
+        path = tmp_path / "t.tfrecords"
+        self._write(path)
+        payloads = list(iter_tfrecord_payloads(str(path)))
+        assert len(payloads) == 3
+        scanned = native.scan_tfrecord(str(path))
+        if scanned is not None:
+            raw, offsets, lengths = scanned
+            assert len(offsets) == 3
