@@ -217,6 +217,14 @@ def _crc32c(data: bytes) -> int:
 
 
 def _masked_crc(data: bytes) -> int:
+    try:
+        from .. import native
+
+        got = native.masked_crc32c(data)
+        if got is not None:
+            return got
+    except Exception:
+        pass
     crc = _crc32c(data)
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 

@@ -72,6 +72,8 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.parse_examples.restype = ctypes.c_int64
+        lib.crc32c_masked.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.crc32c_masked.restype = ctypes.c_uint32
         _lib = lib
         return _lib
 
@@ -191,3 +193,13 @@ def scan_tfrecord(path: str):
         return None
     off, length = scanned
     return raw, off, length
+
+
+def masked_crc32c(data: bytes):
+    """TFRecord masked crc32c of ``data``, or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    return int(lib.crc32c_masked(
+        buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(buf))))

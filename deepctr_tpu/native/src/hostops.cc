@@ -470,3 +470,30 @@ int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// CRC-32C (Castagnoli, reflected 0x82F63B78) with TFRecord's rotation+
+// offset masking — the TFRecord WRITER's hot loop (the reader skips CRC
+// verification; TF's own reader checks these on files we produce).
+// Bit-identical to the pure-Python fallback in estimator/tfrecord.py.
+static const uint32_t* crc32c_table() {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : c >> 1;
+      table[i] = c;
+    }
+    init = true;
+  }
+  return table;
+}
+
+extern "C" uint32_t crc32c_masked(const uint8_t* data, int64_t n) {
+  const uint32_t* table = crc32c_table();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (int64_t i = 0; i < n; ++i)
+    crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  crc ^= 0xFFFFFFFFu;
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}

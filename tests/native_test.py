@@ -132,3 +132,19 @@ class TestTFRecordWriter:
         if scanned is not None:
             raw, offsets, lengths = scanned
             assert len(offsets) == 3
+
+
+def test_masked_crc32c_native_matches_python():
+    from deepctr_tpu import native
+    from deepctr_tpu.estimator.tfrecord import _crc32c
+
+    def py_masked(data):
+        crc = _crc32c(data)
+        return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    for n in (0, 1, 7, 64, 1000, 65537):
+        data = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+        assert native.masked_crc32c(data) == py_masked(data)
