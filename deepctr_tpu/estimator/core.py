@@ -54,6 +54,7 @@ class Estimator:
         self.model.compile(optimizer, loss)
         self._global_step = 0
         self._multi_train_step = None
+        self._multi_k = 0
         if self.model_dir:
             self._maybe_restore()
 
@@ -65,11 +66,19 @@ class Estimator:
         path = self._ckpt_path()
         if os.path.exists(path):
             self.model.load_weights(path)
+        step_path = path + ".step"
+        if os.path.exists(step_path):
+            # global_step survives restarts (TF estimator max_steps contract:
+            # a restored estimator at max_steps trains 0 further steps)
+            with open(step_path) as f:
+                self._global_step = int(f.read().strip() or 0)
 
     def _maybe_save(self):
         if self.model_dir:
             os.makedirs(self.model_dir, exist_ok=True)
             self.model.save_weights(self._ckpt_path())
+            with open(self._ckpt_path() + ".step", "w") as f:
+                f.write(str(self._global_step))
 
     # ------------------------------------------------------------------
     def train(self, input_fn, steps: Optional[int] = None, max_steps: Optional[int] = None,
@@ -105,9 +114,12 @@ class Estimator:
 
         def flush(buf):
             if len(buf) == K and K > 1:
-                if self._multi_train_step is None:
+                if self._multi_train_step is None or self._multi_k != K:
+                    # key the cached program on K: a later train() call
+                    # with a different steps_per_execution must re-trace
                     self._multi_train_step = \
                         self.model._build_multi_train_step(K)
+                    self._multi_k = K
                 xK = {k: jnp.asarray(np.stack([b[0][k] for b in buf]))
                       for k in buf[0][0]}
                 yK = jnp.asarray(np.stack([b[1] for b in buf]))
@@ -121,6 +133,8 @@ class Estimator:
             buf.clear()
 
         for xb, yb in input_fn():
+            if max_steps is not None and self._global_step >= max_steps:
+                break  # TF contract: restored at max_steps -> train 0 steps
             if yb is None:
                 raise ValueError("train() requires labels from the input_fn")
             xc = canonicalize_batch(xb, self.model.feature_columns)
@@ -128,6 +142,13 @@ class Estimator:
             n_real = len(yc)
             if pad_to is None:
                 pad_to = n_real
+            if n_real > pad_to:
+                raise ValueError(
+                    "input_fn yielded a batch of %d > the first batch's %d; "
+                    "batches after the first must not grow (the first batch "
+                    "fixes the compiled shape — smaller ones are padded)"
+                    % (n_real, pad_to)
+                )
             w = np.ones(n_real, np.float32)
             if n_real < pad_to:
                 # partial final batch: repeat the last sample with weight 0

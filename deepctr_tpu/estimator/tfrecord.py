@@ -49,7 +49,8 @@ def iter_tfrecord_payloads(path: str) -> Iterator[bytes]:
             payload = f.read(length)
             if len(payload) < length:
                 raise ValueError("Truncated TFRecord payload in %s" % path)
-            f.read(4)  # payload crc
+            if len(f.read(4)) < 4:  # payload crc (not verified, but framed)
+                raise ValueError("Truncated TFRecord payload CRC in %s" % path)
             yield payload
 
 
@@ -100,13 +101,20 @@ def _zigzag_to_signed(v: int) -> int:
 
 
 def _parse_feature(buf: bytes):
-    """Feature message -> (kind, list of values)."""
+    """Feature message -> (kind, list of values).
+
+    Protobuf merge semantics: a submessage field may occur multiple times
+    and parsers must concatenate — so values accumulate across ALL
+    occurrences of the list field instead of returning at the first.
+    """
+    kind = None
+    out: List = []
     for field, wire, value in _iter_fields(buf):
         if field == 1:  # BytesList{value=1 repeated bytes}
-            out = [v for f, w, v in _iter_fields(value) if f == 1]
-            return "bytes", out
-        if field == 2:  # FloatList{value=1 repeated float (packed or not)}
-            out: List[float] = []
+            kind = "bytes"
+            out.extend(v for f, w, v in _iter_fields(value) if f == 1)
+        elif field == 2:  # FloatList{value=1 repeated float (packed or not)}
+            kind = "float"
             for f, w, v in _iter_fields(value):
                 if f != 1:
                     continue
@@ -114,9 +122,8 @@ def _parse_feature(buf: bytes):
                     out.extend(np.frombuffer(v, dtype="<f4").tolist())
                 else:  # single 32-bit
                     out.append(struct.unpack("<f", v)[0])
-            return "float", out
-        if field == 3:  # Int64List{value=1 repeated int64 (packed or not)}
-            out = []
+        elif field == 3:  # Int64List{value=1 repeated int64 (packed or not)}
+            kind = "int64"
             for f, w, v in _iter_fields(value):
                 if f != 1:
                     continue
@@ -127,8 +134,7 @@ def _parse_feature(buf: bytes):
                         out.append(_zigzag_to_signed(x))
                 else:
                     out.append(_zigzag_to_signed(v))
-            return "int64", out
-    return "bytes", []
+    return (kind or "bytes"), out
 
 
 def parse_example(payload: bytes) -> Dict[str, tuple]:
@@ -180,7 +186,13 @@ def read_tfrecord_examples(filenames, feature_description) -> Dict[str, np.ndarr
                     columns[name].append(values)
     out = {}
     for name, spec in feature_description.items():
-        dtype = np.float32 if "float" in str(spec.dtype) else np.int64
+        sdt = str(spec.dtype)
+        if "float" in sdt:
+            dtype = np.float32
+        elif "string" in sdt or "bytes" in sdt:
+            dtype = object  # BytesList features come back as bytes objects
+        else:
+            dtype = np.int64
         arr = np.asarray(columns[name], dtype=dtype)
         want = tuple(spec.shape)
         if want and arr.ndim == 2 and arr.shape[1] == int(np.prod(want)):
@@ -249,17 +261,24 @@ def _len_delimited(field: int, payload: bytes) -> bytes:
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
-def _encode_feature(values) -> bytes:
+def _encode_feature(values, kind=None) -> bytes:
     """tf.train.Feature from a list of ints / floats / bytes.
 
-    Matches TF's proto2 serialization (repeated scalars unpacked)."""
-    if len(values) and isinstance(values[0], (bytes, str)):
+    Unpacked repeated scalars — wire-compatible with every protobuf
+    parser (packed and unpacked are both legal on the wire; TF itself
+    emits packed, so files are value-identical but not byte-identical).
+    Without ``kind``, the type is inferred from the Python values —
+    integer-valued floats would infer int64, so pass kind explicitly
+    when a feature's values can look integral."""
+    if kind == "bytes" or (kind is None and len(values)
+                           and isinstance(values[0], (bytes, str))):
         inner = b"".join(
             _len_delimited(1, v.encode() if isinstance(v, str) else v)
             for v in values
         )
         return _len_delimited(1, inner)  # bytes_list = field 1
-    if all(isinstance(v, (int, np.integer)) for v in values):
+    if kind == "int64" or (kind is None and all(
+            isinstance(v, (int, np.integer)) for v in values)):
         inner = b"".join(
             _tag(1, 0) + _varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in values
         )
@@ -270,8 +289,14 @@ def _encode_feature(values) -> bytes:
     return _len_delimited(2, inner)  # float_list = field 2
 
 
-def encode_example(feature_dict) -> bytes:
-    """Serialize {name: scalar | list | 1-D array} as tf.train.Example."""
+def encode_example(feature_dict, kinds=None) -> bytes:
+    """Serialize {name: scalar | list | 1-D array} as tf.train.Example.
+
+    ``kinds``: optional {name: 'int64' | 'float' | 'bytes'} forcing each
+    feature's encoding — recommended whenever a float feature can hold
+    integer-looking Python values (type inference is per record, so a
+    mixed column would otherwise flip kinds between records and break
+    TF's FixedLenFeature parsing)."""
     entries = []
     for name, values in feature_dict.items():
         if isinstance(values, (bytes, str, int, float, np.integer, np.floating)):
@@ -280,22 +305,24 @@ def encode_example(feature_dict) -> bytes:
             len(values) and isinstance(values[0], (bytes, str))
         ) else list(values)
         entry = (_len_delimited(1, name.encode())
-                 + _len_delimited(2, _encode_feature(values)))
+                 + _len_delimited(2, _encode_feature(
+                     values, (kinds or {}).get(name))))
         entries.append(_len_delimited(1, entry))  # Features.feature map entry
     features = b"".join(entries)
     return _len_delimited(1, features)  # Example.features = field 1
 
 
-def write_tfrecord_examples(path: str, feature_dicts) -> int:
+def write_tfrecord_examples(path: str, feature_dicts, kinds=None) -> int:
     """Write an iterable of feature dicts as a TFRecord file of Examples.
 
     Reference equivalent: examples/gen_tfrecords.py write_tfrecord
-    (tf.python_io.TFRecordWriter). Returns the number of records written.
+    (tf.python_io.TFRecordWriter). ``kinds`` (see encode_example) pins
+    each feature's encoding across records. Returns the record count.
     """
     n = 0
     with open(path, "wb") as f:
         for fd in feature_dicts:
-            payload = encode_example(fd)
+            payload = encode_example(fd, kinds)
             header = struct.pack("<Q", len(payload))
             f.write(header)
             f.write(struct.pack("<I", _masked_crc(header)))

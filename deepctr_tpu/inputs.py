@@ -424,7 +424,7 @@ class EmbeddingTables(nn.Module):
         feat = fc.sparsefeat
         return fused.fused_pool_supported(
             feat.vocabulary_size, feat.embedding_dim, fc.combiner,
-            fc.weight_name is not None,
+            fc.weight_name is not None, maxlen=fc.maxlen,
         )
 
     def pool_varlen(self, features, varlen_cols, to_list=False, cache=None):

@@ -56,8 +56,17 @@ def fused_pool_interpret():
     return _FUSED_POOL["interpret"]
 
 
-def fused_pool_supported(V: int, E: int, combiner: str, weighted: bool) -> bool:
+# per grid step the kernel holds a (TILE_B*T, 128) VMEM scratch and
+# TILE_B*T DMA semaphores; cap T so long sequences fall back to the XLA
+# path instead of exhausting VMEM/semaphores at Mosaic compile time
+_MAX_T = 256
+
+
+def fused_pool_supported(V: int, E: int, combiner: str, weighted: bool,
+                         maxlen: Optional[int] = None) -> bool:
     if weighted or combiner not in ("sum", "mean", "max"):
+        return False
+    if maxlen is not None and maxlen > _MAX_T:
         return False
     if E % 128 == 0:
         return True
@@ -128,9 +137,9 @@ def _pool_kernel(ids_ref, slot_ref, mask_ref, table_ref, out_ref, scratch,
 def _gather_pool_fwd_pallas(table, ids, mask, combiner, interpret):
     B, T = ids.shape
     V, E = table.shape
+    if T > _MAX_T:  # VMEM/semaphore budget (see fused_pool_supported)
+        return reference_gather_pool(table, ids, mask, combiner)
     if E % 128 == 0:
-        k = 1
-        lines = table.reshape(V * (E // 128), 128) if E != 128 else table
         # E > 128: each row is m consecutive lines — handled by splitting
         # the feature dim into m independent 128-wide pools
         if E > 128:
@@ -142,6 +151,8 @@ def _gather_pool_fwd_pallas(table, ids, mask, combiner, interpret):
                 for i in range(m)
             ]
             return jnp.concatenate(parts, axis=1)
+        k = 1
+        lines = table
         lines_E = 128
     else:
         if not (128 % E == 0 and (V * E) % 128 == 0):

@@ -129,3 +129,29 @@ def test_estimator_train_steps_per_execution():
     est_r = make()
     est_r.train(fn(), steps_per_execution=3)
     assert est_r._global_step == 8
+
+
+def test_estimator_global_step_survives_restore(tmp_path):
+    df, cols, features = _pandas_fixture()
+    fn = lambda: input_fn_pandas(df, features, "label", batch_size=16,
+                                 num_epochs=1)
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,),
+                          model_dir=str(tmp_path / "m"))
+    est.train(fn())
+    steps = est._global_step
+    assert steps == 4
+    est2 = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,),
+                           model_dir=str(tmp_path / "m"))
+    assert est2._global_step == steps  # restored, not reset
+    est2.train(fn(), max_steps=steps)  # already at max_steps -> 0 more
+    assert est2._global_step == steps
+
+
+def test_estimator_steps_per_execution_retrace_on_new_k():
+    df, cols, features = _pandas_fixture()
+    fn = lambda: input_fn_pandas(df, features, "label", batch_size=8,
+                                 num_epochs=1, shuffle=False)
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,))
+    est.train(fn(), steps_per_execution=4)
+    est.train(fn(), steps_per_execution=8)  # must re-trace, not crash
+    assert est._global_step == 16

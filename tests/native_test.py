@@ -148,3 +148,54 @@ def test_masked_crc32c_native_matches_python():
     for n in (0, 1, 7, 64, 1000, 65537):
         data = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
         assert native.masked_crc32c(data) == py_masked(data)
+
+
+class TestTFRecordWriterEdgeCases:
+    def test_kinds_override_pins_float_encoding(self, tmp_path):
+        """Integer-valued floats must not flip to int64 between records."""
+        from deepctr_tpu.estimator import FixedLenFeature
+        from deepctr_tpu.estimator.tfrecord import (read_tfrecord_examples,
+                                                    write_tfrecord_examples)
+
+        path = str(tmp_path / "k.tfrecords")
+        rows = [{"price": [0, 1]}, {"price": [0.5, 2.0]}]
+        write_tfrecord_examples(path, rows, kinds={"price": "float"})
+        out = read_tfrecord_examples(
+            path, {"price": FixedLenFeature([2], "float32")})
+        np.testing.assert_allclose(out["price"], [[0, 1], [0.5, 2.0]])
+
+    def test_string_features_roundtrip(self, tmp_path):
+        from deepctr_tpu.estimator import FixedLenFeature
+        from deepctr_tpu.estimator.tfrecord import (read_tfrecord_examples,
+                                                    write_tfrecord_examples)
+
+        path = str(tmp_path / "s.tfrecords")
+        write_tfrecord_examples(path, [{"id": ["abc"]}, {"id": [b"xy"]}])
+        out = read_tfrecord_examples(
+            path, {"id": FixedLenFeature([1], "string")})
+        assert out["id"].reshape(-1).tolist() == [b"abc", b"xy"]
+
+    def test_truncated_trailing_crc_raises(self, tmp_path):
+        from deepctr_tpu.estimator.tfrecord import (iter_tfrecord_payloads,
+                                                    write_tfrecord_examples)
+
+        path = str(tmp_path / "t.tfrecords")
+        write_tfrecord_examples(path, [{"a": [1]}])
+        data = open(path, "rb").read()
+        open(path, "wb").write(data[:-2])  # cut into the payload CRC
+        with pytest.raises(ValueError):
+            list(iter_tfrecord_payloads(path))
+
+    def test_split_list_field_occurrences_merge(self):
+        """Parsers must concatenate repeated submessage occurrences."""
+        from deepctr_tpu.estimator.tfrecord import (_encode_feature,
+                                                    _parse_feature)
+
+        a = _encode_feature([1.5], kind="float")
+        b = _encode_feature([2.5, 3.5], kind="float")
+        # both are Feature{float_list=...}; concatenating them yields a
+        # Feature with TWO field-2 occurrences (protobuf merge semantics)
+        merged = a + b
+        kind, values = _parse_feature(merged)
+        assert kind == "float"
+        np.testing.assert_allclose(values, [1.5, 2.5, 3.5])
