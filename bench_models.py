@@ -94,7 +94,7 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     return batch * scan * calls / (time.perf_counter() - t0)
 
 
-def main(selected=None, mp=False):
+def main(selected=None, mp=False, fused=False):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -121,11 +121,15 @@ def main(selected=None, mp=False):
         model, cols, x, batch = make()
         # --mp: bf16 activations on top of bf16 tables (mixed precision)
         kw = dict(compute_dtype="bfloat16") if mp else {}
+        if fused:
+            # --fused: VMEM-resident attention kernel (BST/AutoInt paths)
+            kw["fused_attention"] = True
         model.compile(embedding_split_optimizer(), "binary_crossentropy",
                       embedding_dtype="bfloat16", **kw)
         rate = _measure(model, cols, x, batch)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",
                           "model": name, "batch": batch, "mp": mp,
+                          "fused_attention": fused,
                           "value": round(rate, 1), "unit": "examples/s"}),
               flush=True)
 
@@ -135,5 +139,7 @@ if __name__ == "__main__":
 
     args = set(sys.argv[1:])
     mp = "--mp" in args
+    fused = "--fused" in args
     args.discard("--mp")
-    main(args or None, mp=mp)
+    args.discard("--fused")
+    main(args or None, mp=mp, fused=fused)
