@@ -198,3 +198,32 @@ def test_dien_trains_on_mesh_with_loss_parity(mesh):
     single = _seq_parity_run(ctor, None)
     sharded = _seq_parity_run(ctor, mesh)
     np.testing.assert_allclose(sharded, single, rtol=2e-4)
+
+
+def test_bst_fused_attention_on_mesh_loss_parity(mesh):
+    """The fused attention kernel under the (4,2) mesh (interpret mode on
+    CPU) must reproduce the unsharded XLA-path loss trajectory — guards the
+    SPMD-partitioner x pallas_call interaction."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from deepctr_tpu.models import BST
+    from deepctr_tpu.ops.attention import set_fused_attention
+
+    def run(use_mesh, fused):
+        import __graft_entry__ as ge
+
+        try:
+            cols, behaviors, x, y = ge._seq_fixture(16)
+            model = BST(cols, behaviors, att_head_num=2,
+                        dnn_hidden_units=(8, 4))
+            model.compile("adam", "binary_crossentropy",
+                          mesh=mesh if use_mesh else None,
+                          fused_attention=fused)
+            h = model.fit(x, y, batch_size=8, epochs=2, shuffle=False,
+                          verbose=0)
+            return h.history["loss"]
+        finally:
+            set_fused_attention(False)
+
+    base = run(False, False)
+    np.testing.assert_allclose(run(True, True), base, rtol=2e-4)
