@@ -228,15 +228,23 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
-def _masked_crc(data: bytes) -> int:
-    try:
-        from .. import native
+_masked_crc_native = None  # resolved once: None = unknown, False = absent
 
-        got = native.masked_crc32c(data)
-        if got is not None:
-            return got
-    except Exception:
-        pass
+
+def _masked_crc(data: bytes) -> int:
+    # resolve the native implementation once, not per record (the writer
+    # calls this twice per record)
+    global _masked_crc_native
+    if _masked_crc_native is None:
+        try:
+            from .. import native
+
+            _masked_crc_native = (native.masked_crc32c
+                                  if native.get_lib() is not None else False)
+        except Exception:
+            _masked_crc_native = False
+    if _masked_crc_native:
+        return _masked_crc_native(data)
     crc = _crc32c(data)
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 

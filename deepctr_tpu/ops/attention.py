@@ -50,6 +50,7 @@ Integration: ``set_fused_attention(True)`` (or
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,7 @@ def fused_attention_supported(T: int, D: int) -> bool:
     Tp = T + ((-T) % 8)
     n = max(_G_FWD, _G_BWD) * Tp
     return n * n * 4 <= _MAX_TILE_BYTES
+
 
 # process-wide funnel switch (same pattern as ops.embedding)
 _FUSED_ATTN = {"enabled": False, "interpret": False}
@@ -275,8 +277,6 @@ def fused_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
     # static padding: T to sublane multiples, BH to the block size;
     # padded keys get the -1 sentinel (strictly below masked real keys).
     # lcm: BHp must divide by BOTH block sizes (fwd and bwd kernels)
-    import math
-
     Tp = T + ((-T) % 8)
     G = math.lcm(_G_FWD, _G_BWD)
     BHp = BH + ((-BH) % G)

@@ -106,10 +106,14 @@ def predict_with_artifact(path, batch, feature_columns):
     should still prefer one explicit ``load_stablehlo`` call.
     """
     st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    abspath = os.path.abspath(path)
+    key = (abspath, st.st_mtime_ns, st.st_size)
     serve = _ARTIFACT_CACHE.get(key)
     if serve is None:
-        _ARTIFACT_CACHE.clear()  # drop stale versions of re-exported files
+        # drop stale versions of THIS file only (serving several distinct
+        # artifacts must not thrash the cache)
+        for k in [k for k in _ARTIFACT_CACHE if k[0] == abspath]:
+            del _ARTIFACT_CACHE[k]
         serve = _ARTIFACT_CACHE[key] = load_stablehlo(path)
     xc = canonicalize_batch(batch, feature_columns)
     return np.asarray(serve(xc))
