@@ -419,14 +419,22 @@ class Transformer(nn.Module):
         from ..ops import attention as fused_ops
         if (fused_ops.fused_attention_enabled()
                 and self.attention_type == "scaled_dot_product"
-                and T_q == T_k
-                and (not self.dropout_rate or not training)):
+                and T_q == T_k):
             # fused VMEM-resident attention: the (B,H,T,T) score/weight
             # arrays never exist in HBM. Query-mask zeroing of weight
             # rows == zeroing output rows, applied after the kernel.
+            # Attention-weight dropout runs IN-KERNEL (counter-hash keep
+            # mask, replayed by the VJP; nn.Dropout semantics, its own
+            # RNG stream).
+            rate = float(self.dropout_rate) if training else 0.0
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 1 << 24, jnp.int32)
             result = fused_ops.fused_attention(
                 Q, K, V, key_mask=k_mask, scale=1.0 / (D ** 0.5),
-                blinding=self.blinding,
+                blinding=self.blinding, dropout_rate=rate,
+                dropout_seed=seed,
                 interpret=fused_ops.fused_attention_interpret())
             result = result * q_mask[:, None, :, None].astype(result.dtype)
             return self._post_attention(result, queries, B, T_q, D, H,

@@ -38,9 +38,11 @@ Masking levels inside a row of the (G*T, G*T) score matrix:
      over the top level, which must be the real T keys only, exactly as
      the unpadded XLA path behaves)
 
-Query masking / dropout / residual stay OUTSIDE the kernel (query-mask
-zeroing of W rows == zeroing O rows, applied by the caller; the funnel
-falls back to the XLA path when attention dropout is active).
+Query masking / residual stay OUTSIDE the kernel (query-mask zeroing of
+W rows == zeroing O rows, applied by the caller). Attention-weight
+dropout runs IN-KERNEL: a counter-based hash of (seed, position) builds
+the keep mask in VMEM — fwd and bwd replay it identically, and the
+(B,H,T,T) mask never exists in HBM (the XLA path materializes it).
 
 Integration: ``set_fused_attention(True)`` (or
 ``CTRModel.compile(..., fused_attention=True)``) routes
@@ -123,22 +125,50 @@ def _weights(qc, kc, km_row, *, G, T, scale, blinding):
     return w, valid
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, km_ref, o_ref, *, G, T, scale,
-                blinding):
+def _keep_mask(seed, gid, N, rate):
+    """Deterministic per-position dropout keep mask in f32.
+
+    Counter-based: position index mixed with (seed, grid step) through a
+    murmur3-style finalizer — identical in fwd and bwd by construction,
+    and pure jnp integer ops so it lowers on Mosaic AND runs in interpret
+    mode (pltpu.prng_* has no CPU interpret rule). int32 multiplies wrap
+    two's-complement, matching uint32 bit patterns; the threshold compare
+    uses the low 24 bits (non-negative) for unsigned semantics.
+    """
+    shr = jax.lax.shift_right_logical  # murmur needs LOGICAL shifts
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) * N
+           + jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
+    h = idx + seed * jnp.int32(-0x61C88647) + gid * jnp.int32(-0x7A143595)
+    h = h ^ shr(h, 16)
+    h = h * jnp.int32(-0x7A143595)  # 0x85EBCA6B as signed int32
+    h = h ^ shr(h, 13)
+    h = h * jnp.int32(-0x3D4D51CB)  # 0xC2B2AE35 as signed int32
+    h = h ^ shr(h, 16)
+    r24 = h & jnp.int32(0xFFFFFF)
+    thresh = jnp.int32(int(rate * (1 << 24)))
+    return (r24 >= thresh).astype(jnp.float32)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, km_ref, seed_ref, o_ref, *, G, T,
+                scale, blinding, rate):
     D = q_ref.shape[-1]
     qc = q_ref[:].reshape(G * T, D).astype(jnp.float32)
     kc = k_ref[:].reshape(G * T, D).astype(jnp.float32)
     vc = v_ref[:].reshape(G * T, D).astype(jnp.float32)
     w, _ = _weights(qc, kc, km_ref[0], G=G, T=T, scale=scale,
                     blinding=blinding)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref[0, 0].astype(jnp.int32),
+                          pl.program_id(0), G * T, rate)
+        w = w * keep * (1.0 / (1.0 - rate))
     o = jax.lax.dot_general(
         w, vc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_MM)
     o_ref[:] = o.reshape(G, T, D).astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, km_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, G, T, scale, blinding):
+def _bwd_kernel(q_ref, k_ref, v_ref, km_ref, seed_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, G, T, scale, blinding, rate):
     D = q_ref.shape[-1]
     qc = q_ref[:].reshape(G * T, D).astype(jnp.float32)
     kc = k_ref[:].reshape(G * T, D).astype(jnp.float32)
@@ -146,14 +176,25 @@ def _bwd_kernel(q_ref, k_ref, v_ref, km_ref, do_ref,
     doc = do_ref[:].reshape(G * T, D).astype(jnp.float32)
     w, valid = _weights(qc, kc, km_ref[0], G=G, T=T, scale=scale,
                         blinding=blinding)
-    # dV[c,:] = sum_r W[r,c] dO[r,:]   (off-block W is exactly 0)
+    if rate > 0.0:
+        # identical keep mask to the forward pass (same seed + grid step)
+        keep = _keep_mask(seed_ref[0, 0].astype(jnp.int32),
+                          pl.program_id(0), G * T, rate)
+        wd = w * keep * (1.0 / (1.0 - rate))
+    else:
+        keep = None
+        wd = w
+    # dV[c,:] = sum_r Wd[r,c] dO[r,:]   (off-block W is exactly 0)
     dv = jax.lax.dot_general(
-        w, doc, (((0,), (0,)), ((), ())),
+        wd, doc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_MM)
-    # dW[r,c] = dO[r,:] . V[c,:]  (off-block values garbage, killed below)
+    # dWd[r,c] = dO[r,:] . V[c,:]  (off-block values garbage, killed below)
     dw = jax.lax.dot_general(
         doc, vc, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_MM)
+    if keep is not None:
+        # chain rule through the dropout scaling: dL/dW = dL/dWd * keep/(1-p)
+        dw = dw * keep * (1.0 / (1.0 - rate))
     # softmax VJP, then the explicit mask: on a FULLY-masked row softmax
     # degenerates to uniform (W != 0 at masked keys), and the XLA path's
     # where() blocks those gradients — so must the kernel.
@@ -188,43 +229,46 @@ def _qkv_specs(G, T, D):
         pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),  # V
         # (1, 1, GT) block: last two dims must equal the array's
         pl.BlockSpec((1, 1, G * T), lambda i: (i, 0, 0)),  # key-mask row
+        pl.BlockSpec((1, 1), lambda i: (0, 0)),  # dropout seed scalar
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attn_core(q, k, v, kmask, scale, blinding, interpret):
-    return _attn_fwd_call(q, k, v, kmask, scale, blinding, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attn_core(q, k, v, kmask, seed, scale, blinding, rate, interpret):
+    return _attn_fwd_call(q, k, v, kmask, seed, scale, blinding, rate,
+                          interpret)
 
 
-def _attn_fwd_call(q, k, v, kmask, scale, blinding, interpret):
+def _attn_fwd_call(q, k, v, kmask, seed, scale, blinding, rate, interpret):
     BH, T, D = q.shape
     G = _G_FWD
     km_rows = kmask.reshape(BH // G, 1, G * T)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, G=G, T=T, scale=scale,
-                          blinding=blinding),
+                          blinding=blinding, rate=rate),
         grid=(BH // G,),
         in_specs=_qkv_specs(G, T, D),
         out_specs=pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, T, D), q.dtype),
         interpret=interpret,
-    )(q, k, v, km_rows)
+    )(q, k, v, km_rows, seed)
     return out
 
 
-def _attn_fwd(q, k, v, kmask, scale, blinding, interpret):
-    out = _attn_fwd_call(q, k, v, kmask, scale, blinding, interpret)
-    return out, (q, k, v, kmask)
+def _attn_fwd(q, k, v, kmask, seed, scale, blinding, rate, interpret):
+    out = _attn_fwd_call(q, k, v, kmask, seed, scale, blinding, rate,
+                         interpret)
+    return out, (q, k, v, kmask, seed)
 
 
-def _attn_bwd(scale, blinding, interpret, res, do):
-    q, k, v, kmask = res
+def _attn_bwd(scale, blinding, rate, interpret, res, do):
+    q, k, v, kmask, seed = res
     BH, T, D = q.shape
     G = _G_BWD
     km_rows = kmask.reshape(BH // G, 1, G * T)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, G=G, T=T, scale=scale,
-                          blinding=blinding),
+                          blinding=blinding, rate=rate),
         grid=(BH // G,),
         in_specs=_qkv_specs(G, T, D) + [
             pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),  # dO
@@ -240,29 +284,37 @@ def _attn_bwd(scale, blinding, interpret, res, do):
             jax.ShapeDtypeStruct((BH, T, D), v.dtype),
         ],
         interpret=interpret,
-    )(q, k, v, km_rows, do)
-    # key_mask enters only through where() selects — zero cotangent
-    return dq, dk, dv, jnp.zeros_like(kmask)
+    )(q, k, v, km_rows, seed, do)
+    # key_mask/seed enter only through selects — zero cotangents
+    return dq, dk, dv, jnp.zeros_like(kmask), jnp.zeros_like(seed)
 
 
 _attn_core.defvjp(_attn_fwd, _attn_bwd)
 
 
 def fused_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
-                    interpret=False):
+                    dropout_rate=0.0, dropout_seed=None, interpret=False):
     """Fused multi-head attention for short sequences.
 
     q, k, v: (B, H, T, D); key_mask: (B, T) (1 = valid) or None.
-    Returns softmax((q @ k^T) * scale [masked/blinded]) @ v, shape
-    (B, H, T, D). Gradients flow to q, k, v (custom VJP recomputes the
-    weights in VMEM — the (B,H,T,T) arrays never exist in HBM).
+    Returns softmax((q @ k^T) * scale [masked/blinded]) @ v, with
+    optional attention-weight dropout (``dropout_rate`` > 0 requires
+    ``dropout_seed``, a scalar; the keep mask is a counter-based hash of
+    position and seed, replayed identically by the custom VJP — the mask
+    never exists in HBM). Gradients flow to q, k, v; the (B,H,T,T)
+    arrays never exist in HBM.
     """
     B, H, T, D = q.shape
     BH = B * H
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
     if not fused_attention_supported(T, D):
         # long-T shapes would exceed the kernel's VMEM tile budget —
         # serve them with the XLA path instead of failing to compile
-        return reference_attention(q, k, v, key_mask, scale, blinding)
+        # (weight-level dropout, same semantics, mask in HBM)
+        return reference_attention(
+            q, k, v, key_mask, scale, blinding,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed)
 
     qf = q.reshape(BH, T, D)
     kf = k.reshape(BH, T, D)
@@ -291,13 +343,21 @@ def fused_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
         vf = _pad_to(vf, G, 0)
         km = jnp.pad(km, ((0, BHp - BH), (0, 0)), constant_values=-1.0)
 
-    out = _attn_core(qf, kf, vf, km, float(scale), bool(blinding),
-                     bool(interpret))
+    seed = jnp.zeros((1, 1), jnp.float32) if dropout_seed is None else \
+        jnp.asarray(dropout_seed, jnp.float32).reshape(1, 1)
+    out = _attn_core(qf, kf, vf, km, seed, float(scale), bool(blinding),
+                     float(dropout_rate), bool(interpret))
     return out[:BH, :T, :].reshape(B, H, T, D)
 
 
-def reference_attention(q, k, v, key_mask=None, scale=1.0, blinding=False):
-    """Plain-XLA equivalent for tests/benches (matches the funnel paths)."""
+def reference_attention(q, k, v, key_mask=None, scale=1.0, blinding=False,
+                        dropout_rate=0.0, dropout_seed=None):
+    """Plain-XLA equivalent for tests/benches (matches the funnel paths).
+
+    Dropout here is weight-level (like the funnel's nn.Dropout on the
+    attention weights) with a jax.random mask — used by the long-T
+    fallback; the RNG stream differs from the kernel's counter hash.
+    """
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     if key_mask is not None:
         s = jnp.where(key_mask[:, None, None, :] > 0, s, _NEG)
@@ -307,4 +367,11 @@ def reference_attention(q, k, v, key_mask=None, scale=1.0, blinding=False):
     s = s.astype(jnp.float32)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     w = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(17),
+            jnp.asarray(0 if dropout_seed is None else dropout_seed,
+                        jnp.int32))
+        keep = jax.random.uniform(key, w.shape) >= dropout_rate
+        w = w * keep / (1.0 - dropout_rate)
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), v)

@@ -232,3 +232,75 @@ def test_long_t_falls_back_to_xla():
     out = fused_attention(q, k, v, mask, scale=0.25, interpret=True)
     ref = reference_attention(q, k, v, mask, scale=0.25)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+class TestInKernelDropout:
+    def test_zero_rate_matches_no_dropout_exactly(self):
+        q, k, v, mask = _data(4, 2, 10, 8, seed=21)
+        a = fused_attention(q, k, v, mask, scale=0.3, interpret=True)
+        b = fused_attention(q, k, v, mask, scale=0.3, dropout_rate=0.0,
+                            dropout_seed=7, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_deterministic_per_seed(self):
+        q, k, v, mask = _data(4, 2, 10, 8, seed=22)
+        f = lambda s: fused_attention(q, k, v, mask, scale=0.3,
+                                      dropout_rate=0.4, dropout_seed=s,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(f(5)), np.asarray(f(5)))
+        assert not np.allclose(np.asarray(f(5)), np.asarray(f(6)))
+
+    def test_unbiased_mean_over_seeds(self):
+        q, k, v, mask = _data(2, 1, 8, 4, seed=23)
+        base = np.asarray(fused_attention(q, k, v, mask, scale=0.5,
+                                          interpret=True))
+        acc = np.zeros_like(base)
+        n = 120
+        for s in range(n):
+            acc += np.asarray(fused_attention(
+                q, k, v, mask, scale=0.5, dropout_rate=0.3,
+                dropout_seed=1000 + s, interpret=True))
+        # E[dropout(W)] = W -> the mean output converges to the base
+        np.testing.assert_allclose(acc / n, base, atol=0.15)
+
+    def test_grads_self_consistent_fixed_seed(self):
+        from jax.test_util import check_grads
+
+        q, k, v, mask = _data(2, 2, 8, 4, seed=24)
+        f = lambda q, k, v: fused_attention(
+            q, k, v, mask, scale=0.5, blinding=True, dropout_rate=0.35,
+            dropout_seed=9, interpret=True).sum()
+        # custom-VJP grads vs finite differences of the SAME fwd fn
+        check_grads(f, (q, k, v), order=1, modes=["rev"],
+                    atol=5e-2, rtol=5e-2)
+
+    def test_bst_trains_with_attention_dropout_fused(self):
+        from deepctr_tpu import SparseFeat, VarLenSparseFeat
+        from deepctr_tpu.models import BST
+        from deepctr_tpu.ops.attention import set_fused_attention
+
+        rng = np.random.RandomState(0)
+        maxlen, n = 6, 48
+        cols = [SparseFeat("item", 30, 16), SparseFeat("cate", 8, 16),
+                VarLenSparseFeat(SparseFeat("hist_item", 30, 16,
+                                            embedding_name="item"),
+                                 maxlen=maxlen, length_name="seq_length"),
+                VarLenSparseFeat(SparseFeat("hist_cate", 8, 16,
+                                            embedding_name="cate"),
+                                 maxlen=maxlen, length_name="seq_length")]
+        x = {"item": rng.randint(1, 30, n), "cate": rng.randint(1, 8, n),
+             "hist_item": rng.randint(1, 30, (n, maxlen)),
+             "hist_cate": rng.randint(1, 8, (n, maxlen)),
+             "seq_length": rng.randint(1, maxlen + 1, n)}
+        y = rng.randint(0, 2, n).astype("float32")
+        try:
+            m = BST(cols, ["item", "cate"], att_head_num=2,
+                    dnn_hidden_units=(8,), dnn_dropout=0.3, seed=5)
+            m.compile("adam", "binary_crossentropy", fused_attention=True)
+            h = m.fit(x, y, batch_size=16, epochs=3, shuffle=False,
+                      verbose=0)
+            assert h.history["loss"][-1] < h.history["loss"][0]
+            p = m.predict(x)
+            assert not np.isnan(p).any()
+        finally:
+            set_fused_attention(False)
