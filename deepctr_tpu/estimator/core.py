@@ -198,6 +198,14 @@ class Estimator:
             out["loss"] = out["MSE"]
         return out
 
+    def export_stablehlo(self, path, example_batch):
+        """Serving-artifact export (the reference estimator's
+        export_saved_model / PredictOutput role, estimator/utils.py:92):
+        serialize the inference function to a portable StableHLO blob."""
+        from .. import serving
+
+        return serving.export_stablehlo(self.model, path, example_batch)
+
     def predict(self, input_fn, hooks=None):
         """Yields {'pred': ..., 'logits': ...} per example (reference
         PredictOutput export dict, estimator/utils.py:91-117)."""

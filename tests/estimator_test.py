@@ -155,3 +155,19 @@ def test_estimator_steps_per_execution_retrace_on_new_k():
     est.train(fn(), steps_per_execution=4)
     est.train(fn(), steps_per_execution=8)  # must re-trace, not crash
     assert est._global_step == 16
+
+
+def test_estimator_export_stablehlo(tmp_path):
+    from deepctr_tpu import serving
+
+    df, cols, features = _pandas_fixture()
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,))
+    est.train(input_fn_pandas(df, features, "label", batch_size=16,
+                              num_epochs=1))
+    x = {f: df[f].values for f in features}
+    path = str(tmp_path / "est.shlo")
+    assert est.export_stablehlo(path, example_batch=x) > 0
+    got = serving.predict_with_artifact(path, x, cols).reshape(-1)
+    want = np.array([p["pred"][0] for p in est.predict(
+        input_fn_pandas(df, features, batch_size=64))])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
