@@ -304,3 +304,37 @@ class TestInKernelDropout:
             assert not np.isnan(p).any()
         finally:
             set_fused_attention(False)
+
+
+def test_autoint_fused_plus_mixed_precision():
+    """The recommended production combo — compute_dtype=bf16 activations
+    feeding the fused kernel (bf16 Q/K/V io) — trains and stays close to
+    the XLA bf16 path."""
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import AutoInt
+    from deepctr_tpu.ops.attention import set_fused_attention
+
+    rng = np.random.RandomState(2)
+    cols = [SparseFeat("s%d" % i, 20, 8) for i in range(5)]
+    cols += [DenseFeat("d0", 1)]
+    n = 24
+    x = {**{"s%d" % i: rng.randint(0, 20, n) for i in range(5)},
+         "d0": rng.rand(n)}
+    y = rng.randint(0, 2, n).astype("float32")
+
+    def run(fused):
+        try:
+            m = AutoInt(cols, cols, att_layer_num=2, att_head_num=2,
+                        dnn_hidden_units=(8,), seed=1024)
+            m.compile("adam", "binary_crossentropy",
+                      compute_dtype="bfloat16", fused_attention=fused)
+            h = m.fit(x, y, batch_size=8, epochs=2, shuffle=False, verbose=0)
+            return h.history["loss"], m.predict(x)
+        finally:
+            set_fused_attention(False)
+
+    l0, p0 = run(False)
+    l1, p1 = run(True)
+    # both paths are bf16; small divergence is expected, blowups are not
+    np.testing.assert_allclose(l1, l0, rtol=2e-2)
+    np.testing.assert_allclose(p1, p0, rtol=3e-2, atol=3e-2)
