@@ -22,8 +22,8 @@ The formulation is chosen for the MXU (probed on v5e):
   computes the full (G*T, G*T) cross-head score matrix; the off-block
   (cross-head) entries are masked to a sentinel STRICTLY below the real
   mask level, so softmax confines each row to its own head's T keys.
-  G-fold FLOP/VPU waste is the price; turning 2*G tiny matmuls into 2
-  big ones wins by an order of magnitude on the MXU.
+  G-fold FLOP/VPU waste is the price of turning 2*G tiny matmuls into
+  2 big ones (hardware A/B vs XLA: tools/bench_attention.py).
 - reshapes only merge/split SUBLANE dims ((G,T,D) <-> (G*T,D)); the lane
   dim is never reshaped (Mosaic cannot lower lane-splitting casts).
 - matmul precision is DEFAULT (one bf16 MXU pass), exactly like the
