@@ -118,3 +118,32 @@ def test_bf16_compute_varlen_sequence():
     m.compile("adam", "binary_crossentropy", compute_dtype="bfloat16")
     h = m.fit(x, y, batch_size=64, epochs=3, verbose=0)
     assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_bf16_compute_multitask():
+    """Mixed precision through multi-task heads/gates (MMOE) with per-task
+    losses stays f32 at the loss level and close to the f32 run."""
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models.multitask import MMOE
+
+    rng = np.random.RandomState(3)
+    cols = [SparseFeat("s%d" % i, 10, 4) for i in range(3)]
+    cols += [DenseFeat("d0", 1)]
+    n = 32
+    x = {**{"s%d" % i: rng.randint(0, 10, n) for i in range(3)},
+         "d0": rng.rand(n)}
+    y = [rng.randint(0, 2, n).astype("float32"),
+         rng.rand(n).astype("float32")]
+
+    def run(cd):
+        m = MMOE(cols, tower_dnn_hidden_units=(8,), num_experts=3,
+                 task_types=("binary", "regression"),
+                 task_names=("ctr", "ltv"), seed=1024)
+        m.compile("adam", ["binary_crossentropy", "mse"], compute_dtype=cd)
+        h = m.fit(x, y, batch_size=16, epochs=2, shuffle=False, verbose=0)
+        return h.history["loss"]
+
+    l32 = run(None)
+    l16 = run("bfloat16")
+    assert l16[-1] < l16[0]  # trains
+    np.testing.assert_allclose(l16, l32, rtol=3e-2)
