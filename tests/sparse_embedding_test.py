@@ -147,3 +147,32 @@ def test_sparse_engine_composes_with_mesh():
     mesh = make_mesh((4, 2), ("data", "model"), jax.devices()[:8])
     sharded = run(mesh)
     np.testing.assert_allclose(sharded, single, rtol=2e-4)
+
+
+def test_sparse_mode_trains_sequence_model(tmp_path):
+    """The engine's hoisted gathers + rowwise scatters through (B, T)
+    varlen ids (DIN: history keys + attention)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from deepctr_tpu.models import DIN
+
+    cols, behaviors, x, y = ge._seq_fixture(32)
+    model = DIN(cols, behaviors, dnn_hidden_units=(8, 4))
+    model.compile("adam", "binary_crossentropy",
+                  sparse_embedding_updates=True)
+    hist = model.fit(x, y, batch_size=16, epochs=6, shuffle=False, verbose=0)
+    losses = hist.history["loss"]
+    assert losses[-1] < losses[0]
+    preds = model.predict(x, batch_size=16)
+    assert np.all(np.isfinite(preds))
+
+    # forward parity with the dense path at identical weights
+    path = str(tmp_path / "w.bin")
+    model.save_weights(path)
+    dense = DIN(cols, behaviors, dnn_hidden_units=(8, 4))
+    dense.compile("adam", "binary_crossentropy")
+    dense.predict(x, batch_size=16)  # build
+    dense.load_weights(path)
+    np.testing.assert_allclose(dense.predict(x, batch_size=16),
+                               preds, rtol=1e-5, atol=1e-6)
