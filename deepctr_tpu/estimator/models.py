@@ -167,7 +167,8 @@ def FNNEstimator(linear_feature_columns, dnn_feature_columns,
 def FwFMEstimator(linear_feature_columns, dnn_feature_columns,
                   dnn_hidden_units=(256, 128, 64), l2_reg_linear=1e-5,
                   l2_reg_embedding=1e-5, l2_reg_field_strength=1e-5, l2_reg_dnn=0,
-                  seed=1024, dnn_dropout=0, dnn_activation="relu", task="binary",
+                  seed=1024, dnn_dropout=0, dnn_activation="relu",
+                  dnn_use_bn=False, task="binary",
                   model_dir=None, config=None, linear_optimizer="Ftrl",
                   dnn_optimizer="Adagrad", training_chief_hooks=None):
     """Reference: estimator/models/fwfm.py."""
@@ -176,7 +177,8 @@ def FwFMEstimator(linear_feature_columns, dnn_feature_columns,
                       l2_reg_embedding=l2_reg_embedding,
                       l2_reg_field_strength=l2_reg_field_strength,
                       l2_reg_dnn=l2_reg_dnn, seed=seed, dnn_dropout=dnn_dropout,
-                      dnn_activation=dnn_activation, task=task)
+                      dnn_activation=dnn_activation, dnn_use_bn=dnn_use_bn,
+                      task=task)
     return _make(model, task, model_dir, config, linear_optimizer, dnn_optimizer,
                  training_chief_hooks)
 

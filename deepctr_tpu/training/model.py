@@ -638,7 +638,10 @@ class CTRModel:
             cb.on_train_end(self)
         return self.history
 
-    def predict(self, x, batch_size=256, _already_canonical=False):
+    def predict(self, x, batch_size=256, verbose=0, _already_canonical=False):
+        # `verbose` accepted for Keras-surface compatibility (reference users
+        # call model.predict(x, batch_size, verbose) per Quick-Start step 4)
+        del verbose
         xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
         self._ensure_built(xc)
         if self._predict_step is None:
@@ -663,7 +666,7 @@ class CTRModel:
                 outs.append(np.asarray(out)[:n_real])
         return np.concatenate(outs, axis=0)
 
-    def evaluate(self, x, y, batch_size=256, _already_canonical=False):
+    def evaluate(self, x, y, batch_size=256, verbose=0, _already_canonical=False):
         xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
         yc = self._canon_y(y)
         preds = self.predict(xc, batch_size=batch_size, _already_canonical=True)
@@ -687,6 +690,8 @@ class CTRModel:
                     logs["{}_{}".format(out_name, name)] = float(fn(yc[:, i], preds[:, i]))
             else:
                 logs[name] = float(fn(yc[:, 0], preds[:, 0]))
+        if verbose:
+            print(" - ".join("%s: %.4f" % kv for kv in logs.items()))
         return logs
 
     def export_inference_fn(self):
