@@ -14,9 +14,11 @@ dispatch study at this shape (honest timing): while-loop scan 20.5 ms/step
 region keep numbers honest on the axon backend (block_until_ready alone
 does not flush pre-first-read; CLAUDE.md measurement discipline).
 
-Prints ONE JSON line. ``vs_baseline`` is examples/s relative to the recorded
-reference-framework figure when available — the reference publishes none
-(BASELINE.md), so null means 'no recorded baseline; self-measured'.
+Prints ONE JSON line. ``vs_baseline`` is examples/s relative to the
+reference framework running THIS EXACT workload on this host (TF CPU —
+the reference has no TPU path in this image): 58,157 examples/s,
+self-measured 2026-08-18 with tools/bench_reference_tf.py (the reference
+publishes no numbers of its own, BASELINE.md).
 """
 from __future__ import annotations
 
@@ -28,6 +30,8 @@ import numpy as np
 BATCH = 32768
 SCAN = 25    # optimizer steps unrolled inside one compiled call
 CALLS = 4    # timed calls (SCAN * CALLS steps total)
+# reference DeepCTR (TF), same workload, host CPU — tools/bench_reference_tf.py
+REF_TF_EXAMPLES_PER_S = 58157.3
 
 
 def main():
@@ -171,7 +175,10 @@ def main():
         "metric": "deepfm_criteo_train_examples_per_s_per_chip",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
-        "vs_baseline": None,
+        # x-times the reference framework on this exact workload on this
+        # host (TF CPU, 58.2k ex/s — tools/bench_reference_tf.py; the
+        # reference publishes no numbers and has no TPU path here)
+        "vs_baseline": round(examples_per_s / REF_TF_EXAMPLES_PER_S, 2),
         "steps_per_execution": SCAN,
         "ms_per_step": round(dt / (SCAN * CALLS) * 1e3, 3),
         "hbm_stream_gbps": round(hbm_gbps, 1),
