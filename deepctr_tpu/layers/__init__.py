@@ -31,7 +31,9 @@ from .sequence import (
     DynamicGRU,
     KMaxPooling,
     PositionEncoding,
+    SequencePoolingLayer,
     Transformer,
+    WeightedSequenceLayer,
     k_max_pooling,
     sequence_pooling,
     weighted_sequence,
@@ -47,7 +49,8 @@ __all__ = [
     "InteractingLayer", "OutterProductLayer", "SENETLayer",
     "LayerNormalization",
     "AttentionSequencePoolingLayer", "BiasEncoding", "BiLSTM", "DynamicGRU",
-    "KMaxPooling", "PositionEncoding", "Transformer", "k_max_pooling",
+    "KMaxPooling", "PositionEncoding", "SequencePoolingLayer", "Transformer",
+    "WeightedSequenceLayer", "k_max_pooling",
     "sequence_pooling", "weighted_sequence",
     "Linear", "add_func", "combined_dnn_input", "concat_func", "flatten",
 ]

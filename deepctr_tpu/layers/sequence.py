@@ -79,6 +79,34 @@ def weighted_sequence(seq, weights, mask=None, lengths=None, weight_normalizatio
     return seq * weights
 
 
+class SequencePoolingLayer(nn.Module):
+    """Class form of :func:`sequence_pooling` for reference-API parity
+    (reference layers/sequence.py:41-120). ``supports_masking`` is kept
+    for signature parity; masks here are always explicit (pass ``mask``
+    or ``lengths``)."""
+
+    mode: str = "mean"
+    supports_masking: bool = False
+
+    @nn.compact
+    def __call__(self, seq, mask=None, lengths=None):
+        return sequence_pooling(seq, self.mode, mask=mask, lengths=lengths)
+
+
+class WeightedSequenceLayer(nn.Module):
+    """Class form of :func:`weighted_sequence` for reference-API parity
+    (reference layers/sequence.py:123-197)."""
+
+    weight_normalization: bool = True
+    supports_masking: bool = False
+
+    @nn.compact
+    def __call__(self, seq, weights, mask=None, lengths=None):
+        return weighted_sequence(
+            seq, weights, mask=mask, lengths=lengths,
+            weight_normalization=self.weight_normalization)
+
+
 class AttentionSequencePoolingLayer(nn.Module):
     """DIN attention pooling (reference layers/sequence.py:200-315).
 

@@ -168,3 +168,24 @@ def test_kmax_pooling():
     assert out.shape == (B, 3, E)
     want = np.sort(np.asarray(x), axis=1)[:, ::-1, :][:, :3, :]
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean", "max"])
+def test_sequence_pooling_layer_class_matches_function(mode):
+    # class form kept for reference-API parity (ref layers/sequence.py:41-120)
+    seq, lengths = _seq(3)
+    layer = S.SequencePoolingLayer(mode=mode)
+    out = layer.apply({}, seq, lengths=lengths)
+    want = S.sequence_pooling(seq, mode, lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+@pytest.mark.parametrize("weight_normalization", [True, False])
+def test_weighted_sequence_layer_class_matches_function(weight_normalization):
+    seq, lengths = _seq(4)
+    w = jnp.asarray(np.random.RandomState(5).rand(B, T).astype(np.float32))
+    layer = S.WeightedSequenceLayer(weight_normalization=weight_normalization)
+    out = layer.apply({}, seq, w, lengths=lengths)
+    want = S.weighted_sequence(seq, w, lengths=lengths,
+                               weight_normalization=weight_normalization)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
