@@ -18,7 +18,7 @@ from .features import (
 )
 from .training.checkpoint import load_model, save_model
 from .training.model import CTRModel
-from .utils import check_version
+from .utils import check_version, enable_compilation_cache
 
 __version__ = "0.1.0"
 
@@ -33,5 +33,6 @@ __all__ = [
     "save_model",
     "load_model",
     "check_version",
+    "enable_compilation_cache",
     "__version__",
 ]

@@ -13,6 +13,34 @@ import os
 from threading import Thread
 
 
+def enable_compilation_cache(cache_dir=None, min_compile_time_secs=1.0):
+    """Turn on JAX's persistent compilation cache (opt-in).
+
+    CTR models compile one XLA program per (model, batch size, K); on
+    backends where compilation is remote/slow (this image's TPU tunnel
+    swings 1s-6min per program) caching executables on disk makes every
+    process after the first start instantly. No reference equivalent (TF
+    sessions re-trace per process).
+
+    Call once before building models::
+
+        import deepctr_tpu
+        deepctr_tpu.enable_compilation_cache()   # ~/.cache/deepctr_tpu/xla
+
+    Unsupported-serialization backends degrade to a warning, not an error.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "deepctr_tpu", "xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    return cache_dir
+
+
 def check_version(version, package="deepctr-tpu", enabled=None):
     """Warn (asynchronously) if a newer release exists on PyPI."""
     if enabled is None:
