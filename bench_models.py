@@ -94,7 +94,7 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     return batch * scan * calls / (time.perf_counter() - t0)
 
 
-def main(selected=None, mp=False, fused=False):
+def main(selected=None, mp=False, fused=False, fused_gru=False):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -124,12 +124,15 @@ def main(selected=None, mp=False, fused=False):
         if fused:
             # --fused: VMEM-resident attention kernel (BST/AutoInt paths)
             kw["fused_attention"] = True
+        if fused_gru:
+            # --fused-gru: whole-sequence Pallas GRU kernel (DIEN path)
+            kw["fused_gru"] = True
         model.compile(embedding_split_optimizer(), "binary_crossentropy",
                       embedding_dtype="bfloat16", **kw)
         rate = _measure(model, cols, x, batch)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",
                           "model": name, "batch": batch, "mp": mp,
-                          "fused_attention": fused,
+                          "fused_attention": fused, "fused_gru": fused_gru,
                           "value": round(rate, 1), "unit": "examples/s"}),
               flush=True)
 
@@ -140,6 +143,8 @@ if __name__ == "__main__":
     args = set(sys.argv[1:])
     mp = "--mp" in args
     fused = "--fused" in args
+    fused_gru = "--fused-gru" in args
     args.discard("--mp")
     args.discard("--fused")
-    main(args or None, mp=mp, fused=fused)
+    args.discard("--fused-gru")
+    main(args or None, mp=mp, fused=fused, fused_gru=fused_gru)

@@ -177,6 +177,20 @@ class _GRUScan(nn.Module):
         else:
             step_mask = sequence_mask(lengths, T)
 
+        from ..ops.gru import (fused_gru_carries, fused_gru_enabled,
+                               fused_gru_interpret, fused_gru_supported)
+
+        if fused_gru_enabled() and fused_gru_supported(T, E, U):
+            # whole-sequence Pallas kernel (ops/gru.py): weights stay in
+            # VMEM across timesteps; carries come back, outputs/final
+            # state derive exactly like the scan below
+            carries = fused_gru_carries(
+                inputs, step_mask, att_scores, gate_kernel, gate_bias,
+                cand_kernel, cand_bias, self.gru_type,
+                interpret=fused_gru_interpret())
+            outputs = carries * step_mask[:, :, None].astype(carries.dtype)
+            return outputs, carries[:, -1]
+
         xs = jnp.swapaxes(inputs, 0, 1)  # (T, B, E)
         ms = jnp.swapaxes(step_mask, 0, 1)[:, :, None]  # (T, B, 1)
         if att_scores is not None:

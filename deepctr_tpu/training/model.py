@@ -102,7 +102,7 @@ class CTRModel:
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
                 embedding_dtype=None, pallas_scatter_updates=False,
                 fused_gather_pool=None, bf16_stochastic_rounding=False,
-                compute_dtype=None, fused_attention=None):
+                compute_dtype=None, fused_attention=None, fused_gru=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -171,6 +171,15 @@ class CTRModel:
 
             set_fused_attention(
                 fused_attention,
+                interpret=jax.default_backend() == "cpu",
+            )
+        if fused_gru is not None:
+            # process-wide switch: DynamicGRU (DIEN interest evolution)
+            # through the whole-sequence Pallas kernel (ops/gru.py)
+            from ..ops.gru import set_fused_gru
+
+            set_fused_gru(
+                fused_gru,
                 interpret=jax.default_backend() == "cpu",
             )
         self._gather_plan = None
