@@ -227,3 +227,32 @@ def test_bst_fused_attention_on_mesh_loss_parity(mesh):
 
     base = run(False, False)
     np.testing.assert_allclose(run(True, True), base, rtol=2e-4)
+
+
+def test_dien_fused_gru_on_mesh_loss_parity(mesh):
+    """The whole-sequence GRU kernel under the (4,2) mesh (interpret mode
+    on CPU) must reproduce the unsharded scan-path loss trajectory —
+    guards the SPMD-partitioner x pallas_call interaction (ops/gru.py)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from deepctr_tpu.models import DIEN
+    from deepctr_tpu.ops.gru import set_fused_gru
+
+    def run(use_mesh, fused):
+        import __graft_entry__ as ge
+
+        try:
+            cols, behaviors, x, y = ge._seq_fixture(16)
+            model = DIEN(cols, behaviors, gru_type="AUGRU",
+                         dnn_hidden_units=(8, 4))
+            model.compile("adam", "binary_crossentropy",
+                          mesh=mesh if use_mesh else None,
+                          fused_gru=fused)
+            h = model.fit(x, y, batch_size=8, epochs=2, shuffle=False,
+                          verbose=0)
+            return h.history["loss"]
+        finally:
+            set_fused_gru(False)
+
+    base = run(False, False)
+    np.testing.assert_allclose(run(True, True), base, rtol=2e-4)
