@@ -107,6 +107,10 @@ class CTRModel:
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
         ``embedding_lr``; ``optimizer`` then only drives the dense params.
+        ``"auto"`` applies the measured crossover policy (BASELINE.md):
+        the engine turns on when any table has >= 1M rows, where its
+        O(touched-rows) updates beat dense full-table optimizer passes
+        (and are the only feasible path once adam state outgrows HBM).
 
         ``embedding_dtype="bfloat16"`` stores embedding tables (params named
         ``emb_*``) in bf16 — halves their HBM traffic (the dominant cost of
@@ -131,6 +135,16 @@ class CTRModel:
         self.loss_weights = loss_weights
         self.metrics = list(metrics or [])
         self.mesh = mesh
+        if sparse_embedding_updates == "auto":
+            # measured policy (BASELINE.md dense-vs-sparse crossover, v5e):
+            # dense full-table optimizer passes win below ~1M rows/table;
+            # the engine's O(touched-rows) updates win above, and are the
+            # only feasible path once adam state stops fitting HBM
+            max_rows = max(
+                (fc.vocabulary_size for fc in self.feature_columns
+                 if hasattr(fc, "vocabulary_size")),
+                default=0)
+            sparse_embedding_updates = max_rows >= 1_000_000
         if sparse_embedding_updates and mesh is not None and pallas_scatter_updates:
             raise ValueError(
                 "pallas_scatter_updates does not compose with mesh sharding; "

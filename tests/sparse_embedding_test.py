@@ -176,3 +176,20 @@ def test_sparse_mode_trains_sequence_model(tmp_path):
     dense.load_weights(path)
     np.testing.assert_allclose(dense.predict(x, batch_size=16),
                                preds, rtol=1e-5, atol=1e-6)
+
+
+def test_auto_policy_selects_engine_by_table_size():
+    """compile(sparse_embedding_updates="auto") applies the measured
+    crossover (BASELINE.md): engine on at >=1M-row tables, off below."""
+    from deepctr_tpu import DenseFeat, SparseFeat
+
+    small = [SparseFeat("a", 100_000, 4), DenseFeat("d", 1)]
+    big = [SparseFeat("a", 1_000_000, 4), DenseFeat("d", 1)]
+
+    m1 = WDL(small, small, dnn_hidden_units=(4,))
+    m1.compile("adam", "binary_crossentropy", sparse_embedding_updates="auto")
+    assert m1.sparse_embedding_updates is False
+
+    m2 = WDL(big, big, dnn_hidden_units=(4,))
+    m2.compile("adam", "binary_crossentropy", sparse_embedding_updates="auto")
+    assert m2.sparse_embedding_updates is True
