@@ -116,3 +116,34 @@ def test_dien_model_with_fused_gru_matches_scan():
     ref = run(False)
     fused = run(True)
     np.testing.assert_allclose(fused, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("gru_type", ["GRU", "AUGRU"])
+def test_fused_gru_multi_block_grid(monkeypatch, gru_type):
+    """B > _BT exercises the batch grid: per-block weight-grad partials
+    must sum to the scan's gradients."""
+    monkeypatch.setattr(G, "_BT", 8)  # 5 batch rows per... 8 lanes -> pad
+    rng = np.random.RandomState(7)
+    Bb = 20  # 3 blocks of 8 after padding
+    x = jnp.asarray(rng.standard_normal((Bb, T, E)).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(1, T + 1, (Bb, 1)).astype(np.int32))
+    att = jnp.asarray(rng.rand(Bb, T, 1).astype(np.float32))
+    params = _params(8)
+
+    def loss(params, x, att, fused):
+        mod = S._GRUScan(U, gru_type)
+        if fused:
+            G.set_fused_gru(True, interpret=True)
+        try:
+            out, final = mod.apply({"params": params}, x, lengths=lengths,
+                                   att_scores=att)
+        finally:
+            G.set_fused_gru(False)
+        return jnp.sum(out ** 2) + jnp.sum(final)
+
+    v_ref, g_ref = jax.value_and_grad(loss, argnums=(0,))(params, x, att, False)
+    v_f, g_f = jax.value_and_grad(loss, argnums=(0,))(params, x, att, True)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
