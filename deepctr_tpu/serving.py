@@ -50,11 +50,15 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     # batch dims. Export always traces the plain-XLA paths.
     from .ops import attention as attn_ops
     from .ops import embedding as emb_ops
+    from .ops import gru as gru_ops
 
-    attn_was = attn_ops.fused_attention_enabled()
+    attn_was = (attn_ops.fused_attention_enabled(),
+                attn_ops.fused_attention_interpret())
     pool_was = emb_ops.fused_pool_enabled()
+    gru_was = (gru_ops.fused_gru_enabled(), gru_ops.fused_gru_interpret())
     attn_ops.set_fused_attention(False)
     emb_ops.set_fused_gather_pool(False)
+    gru_ops.set_fused_gru(False)
     try:
         serve = model.export_inference_fn()
         xc = canonicalize_batch(example_batch, model.feature_columns)
@@ -71,8 +75,9 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
 
         exported = jax_export.export(serve, platforms=list(platforms))(spec)
     finally:
-        attn_ops.set_fused_attention(attn_was)
+        attn_ops.set_fused_attention(*attn_was)
         emb_ops.set_fused_gather_pool(pool_was)
+        gru_ops.set_fused_gru(*gru_was)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)

@@ -135,6 +135,11 @@ class CTRModel:
         self.loss_weights = loss_weights
         self.metrics = list(metrics or [])
         self.mesh = mesh
+        if isinstance(sparse_embedding_updates, str) and \
+                sparse_embedding_updates != "auto":
+            raise ValueError(
+                "sparse_embedding_updates must be True, False or 'auto'; "
+                "got %r" % (sparse_embedding_updates,))
         if sparse_embedding_updates == "auto":
             # measured policy (BASELINE.md dense-vs-sparse crossover, v5e):
             # dense full-table optimizer passes win below ~1M rows/table;

@@ -212,3 +212,18 @@ def test_sparse_mode_lazy_l2_counts_once():
     plan = [se.PlanEntry(("m",), "feat", "feat", 0, 0.5)]
     total = se.lazy_l2(rows, plan)
     np.testing.assert_allclose(float(total), 0.5 * 8.0)
+
+
+def test_sparse_embedding_updates_rejects_unknown_strings():
+    """Any string other than 'auto' must raise, not silently enable the
+    engine via truthiness (review round-2 finding)."""
+    import pytest
+
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import WDL
+
+    cols = [SparseFeat("a", 10, 4), DenseFeat("d", 1)]
+    m = WDL(cols, cols, dnn_hidden_units=(4,))
+    with pytest.raises(ValueError, match="auto"):
+        m.compile("adam", "binary_crossentropy",
+                  sparse_embedding_updates="off")

@@ -113,3 +113,28 @@ def test_export_with_fused_flags_enabled(tmp_path):
         set_fused_attention(False)
         from deepctr_tpu.ops.embedding import set_fused_gather_pool
         set_fused_gather_pool(False)
+
+
+def test_export_with_fused_gru_enabled(tmp_path):
+    """compile(fused_gru=True) must not leak the whole-sequence GRU
+    kernel's custom call / block padding into the exported artifact
+    (review regression: the guard originally covered only attention and
+    gather-pool)."""
+    from tests.models.DIEN_test import get_xy_fd
+
+    from deepctr_tpu.models import DIEN
+    from deepctr_tpu.ops.gru import fused_gru_enabled, set_fused_gru
+
+    x, y, cols, behaviors = get_xy_fd()
+    try:
+        m = DIEN(cols, behaviors, gru_type="AUGRU", dnn_hidden_units=(8,),
+                 seed=3)
+        m.compile("adam", "binary_crossentropy", fused_gru=True)
+        m.fit(x, y, batch_size=3, epochs=1, verbose=0)
+        path = str(tmp_path / "dien.shlo")
+        serving.export_stablehlo(m, path, example_batch=x)  # must not raise
+        got = serving.predict_with_artifact(path, x, cols)
+        assert got.shape[0] == len(y) and not np.isnan(got).any()
+        assert fused_gru_enabled()  # flag restored after export
+    finally:
+        set_fused_gru(False)
