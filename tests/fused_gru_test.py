@@ -147,3 +147,22 @@ def test_fused_gru_multi_block_grid(monkeypatch, gru_type):
     for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("gru_type", ["GRU", "AIGRU", "AGRU", "AUGRU"])
+def test_dien_all_gru_types_train_with_fused_kernel(gru_type):
+    """Every DynamicGRU mode trains through the kernel (AIGRU scales the
+    inputs by attention then runs plain GRU — same routing)."""
+    from tests.models.DIEN_test import get_xy_fd
+
+    from deepctr_tpu.models import DIEN
+
+    x, y, cols, behaviors = get_xy_fd()
+    try:
+        model = DIEN(cols, behaviors, gru_type=gru_type,
+                     dnn_hidden_units=(8, 4), seed=1024)
+        model.compile("adam", "binary_crossentropy", fused_gru=True)
+        h = model.fit(x, y, batch_size=3, epochs=2, shuffle=False, verbose=0)
+        assert np.isfinite(h.history["loss"]).all()
+    finally:
+        G.set_fused_gru(False)
