@@ -200,5 +200,35 @@ def main():
     }))
 
 
+def _wait_for_backend():
+    """The remote TPU tunnel drops for hours at a time (CLAUDE.md). A
+    failed backend init is cached per-process, so probe in SUBPROCESSES
+    until the backend answers or the deadline passes, then run the bench
+    in this (still-clean) process. Bounded: BENCH_WAIT_TPU_S (default
+    900s when targeting the axon platform, 0 otherwise)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    platform = os.environ.get("JAX_PLATFORMS", "")
+    deadline = float(os.environ.get(
+        "BENCH_WAIT_TPU_S", "900" if "axon" in platform else "0"))
+    if deadline <= 0:
+        return
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        time.sleep(30)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
