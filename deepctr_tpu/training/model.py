@@ -749,6 +749,30 @@ class CTRModel:
 
         return serve
 
+    def summary(self, print_fn=print):
+        """Keras-surface parity: per-collection parameter counts.
+
+        Requires built variables (fit/predict/evaluate at least once, or
+        any batch through ``_ensure_built``)."""
+        if self.state is None:
+            raise ValueError(
+                "Model has no variables yet; call fit/predict first.")
+        import numpy as np
+
+        lines = ["Model: %s" % type(self.module).__name__]
+        total = 0
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        for path, leaf in flat:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            total += n
+            lines.append("  %-58s %-16s %12s" % (
+                name, str(leaf.shape), format(n, ",")))
+        lines.append("Total params: %s" % format(total, ","))
+        for line in lines:
+            print_fn(line)
+        return total
+
     # ------------------------------------------------------------------
     # persistence
     # ------------------------------------------------------------------
