@@ -68,3 +68,24 @@ def test_varlen_weight_and_length_inputs():
     )
     names = get_feature_names([fc])
     assert names == ["seq", "w", "len"]
+
+
+def test_canonicalize_accepts_pandas_series():
+    """Reference scripts often pass dict-of-Series (not .values); the
+    batch canonicalizer must accept them."""
+    import pandas as pd
+
+    from deepctr_tpu.models import WDL
+
+    df = pd.DataFrame({
+        "c": np.random.randint(0, 50, 32),
+        "d": np.random.rand(32),
+        "y": np.random.randint(0, 2, 32),
+    })
+    cols = [SparseFeat("c", 50, 4), DenseFeat("d", 1)]
+    m = WDL(cols, cols, dnn_hidden_units=(4,))
+    m.compile("adam", "binary_crossentropy")
+    h = m.fit({"c": df["c"], "d": df["d"]}, df["y"], batch_size=16,
+              epochs=1, verbose=0)
+    assert np.isfinite(h.history["loss"]).all()
+    assert m.predict({"c": df["c"], "d": df["d"]}).shape == (32, 1)
