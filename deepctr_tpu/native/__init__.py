@@ -26,7 +26,8 @@ _build_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _LIB],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -72,6 +73,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.parse_examples.restype = ctypes.c_int64
+        try:
+            lib.parse_examples_mt.argtypes = (
+                lib.parse_examples.argtypes + [ctypes.c_int64])
+            lib.parse_examples_mt.restype = ctypes.c_int64
+        except AttributeError:  # stale .so without the mt entry point
+            pass
         lib.crc32c_masked.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.crc32c_masked.restype = ctypes.c_uint32
         _lib = lib
@@ -142,12 +149,25 @@ def parse_examples_batch(data: np.ndarray, offsets: np.ndarray,
     missing = np.zeros((n, nf), np.uint8)
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
-    rc = lib.parse_examples(
-        data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
-        names.ctypes.data if nf else 0, name_off.ctypes.data,
-        kinds.ctypes.data, widths.ctypes.data, nf,
-        ctypes.cast(ptrs, ctypes.c_void_p), missing.ctypes.data,
-    )
+    mt = getattr(lib, "parse_examples_mt", None)
+    if mt is not None and n >= 2048:
+        # rows are independent; threads write disjoint row ranges
+        # (bit-identical to the single-thread path)
+        nthreads = min(8, os.cpu_count() or 1)
+        rc = mt(
+            data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
+            names.ctypes.data if nf else 0, name_off.ctypes.data,
+            kinds.ctypes.data, widths.ctypes.data, nf,
+            ctypes.cast(ptrs, ctypes.c_void_p), missing.ctypes.data,
+            nthreads,
+        )
+    else:
+        rc = lib.parse_examples(
+            data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
+            names.ctypes.data if nf else 0, name_off.ctypes.data,
+            kinds.ctypes.data, widths.ctypes.data, nf,
+            ctypes.cast(ptrs, ctypes.c_void_p), missing.ctypes.data,
+        )
     if rc < 0:
         raise ValueError("Malformed tf.train.Example at record %d" % (-rc - 1))
     return cols, missing

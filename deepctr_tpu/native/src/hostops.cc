@@ -16,9 +16,13 @@
 //
 // Built as a plain shared library (no pybind11; loaded via ctypes).
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -467,6 +471,46 @@ int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
   delete[] buf_f;
   delete[] buf_i;
   return 0;
+}
+
+// Multi-threaded parse_examples: rows are independent, so split [0, n)
+// across nthreads workers, each writing its disjoint row range of the
+// shared column buffers (same algorithm per row — bit-identical output).
+// Returns 0 on success, -(global_record_index + 1) on the first
+// malformed record any worker hits.
+int64_t parse_examples_mt(const uint8_t* data, const int64_t* offsets,
+                          const int64_t* lengths, int64_t n,
+                          const uint8_t* names, const int64_t* name_offsets,
+                          const int32_t* kinds, const int64_t* widths,
+                          int64_t nf, void** out_ptrs, uint8_t* missing,
+                          int64_t nthreads) {
+  if (nthreads <= 1 || n < 2 * nthreads)
+    return parse_examples(data, offsets, lengths, n, names, name_offsets,
+                          kinds, widths, nf, out_ptrs, missing);
+  std::atomic<int64_t> err(0);  // 0 = ok; else -(global_index + 1)
+  std::vector<std::thread> workers;
+  const int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([=, &err]() {
+      std::vector<void*> shifted(nf);
+      for (int64_t j = 0; j < nf; ++j) {
+        const int64_t elem = kinds[j] == 1 ? 4 : 8;
+        shifted[j] = (uint8_t*)out_ptrs[j] + lo * widths[j] * elem;
+      }
+      const int64_t r = parse_examples(
+          data, offsets + lo, lengths + lo, hi - lo, names, name_offsets,
+          kinds, widths, nf, shifted.data(), missing + lo * nf);
+      if (r < 0) {
+        int64_t expected = 0;
+        err.compare_exchange_strong(expected, -(lo + (-r - 1) + 1));
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  return err.load();
 }
 
 }  // extern "C"
