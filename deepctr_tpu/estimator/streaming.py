@@ -98,7 +98,7 @@ def _scan_python(data):
 
 
 def iter_tfrecord_chunks(filenames, feature_description,
-                         chunk_records: int = 4096) -> Iterator[Dict[str, np.ndarray]]:
+                         chunk_records: int = 16384) -> Iterator[Dict[str, np.ndarray]]:
     """Yield dense column chunks of <= chunk_records examples per yield.
 
     Memory is O(chunk_records), independent of file size: the file is
@@ -215,7 +215,7 @@ class _Pool:
 def iter_tfrecord_batches(filenames, feature_description, label=None,
                           batch_size: int = 256, num_epochs: Optional[int] = 1,
                           shuffle_buffer: int = 0, seed: int = 1024,
-                          chunk_records: int = 4096,
+                          chunk_records: int = 16384,
                           drop_remainder: bool = False):
     """Stream ``(features_dict, labels_or_None)`` batches at constant memory.
 
