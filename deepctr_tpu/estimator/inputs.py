@@ -66,19 +66,21 @@ def input_fn_tfrecord(filenames, feature_description, label=None, batch_size=256
     parser), shuffled through a ``shuffle_factor * batch_size`` record pool
     and prefetched by a background thread — host memory stays
     O(shuffle buffer), independent of dataset size (estimator/streaming.py).
-    ``num_parallel_calls`` sets the chunk granularity handed to the
-    GIL-releasing native parser.
+    ``num_parallel_calls`` is the number of native parser THREADS (rows
+    split across them, bit-identical output) and scales the chunk
+    granularity so the threads stay busy.
     """
     from .streaming import iter_tfrecord_batches, prefetched
 
     shuffle_buffer = batch_size * shuffle_factor if shuffle_factor else 0
-    chunk_records = max(batch_size, 512 * max(1, num_parallel_calls))
+    chunk_records = max(batch_size, 2048 * max(1, num_parallel_calls))
 
     def input_fn():
         it = iter_tfrecord_batches(
             filenames, feature_description, label=label,
             batch_size=batch_size, num_epochs=num_epochs,
             shuffle_buffer=shuffle_buffer, chunk_records=chunk_records,
+            parse_threads=num_parallel_calls,
         )
         if prefetch_factor:
             it = prefetched(it, depth=prefetch_factor + 1)

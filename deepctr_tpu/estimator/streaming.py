@@ -98,7 +98,9 @@ def _scan_python(data):
 
 
 def iter_tfrecord_chunks(filenames, feature_description,
-                         chunk_records: int = 16384) -> Iterator[Dict[str, np.ndarray]]:
+                         chunk_records: int = 16384,
+                         parse_threads: Optional[int] = None,
+                         ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield dense column chunks of <= chunk_records examples per yield.
 
     Memory is O(chunk_records), independent of file size: the file is
@@ -137,7 +139,7 @@ def iter_tfrecord_chunks(filenames, feature_description,
                         from .. import native
 
                         parsed = native.parse_examples_batch(
-                            data, off, ln, schema)
+                            data, off, ln, schema, nthreads=parse_threads)
                     except ValueError:
                         raise
                     except Exception:
@@ -216,7 +218,8 @@ def iter_tfrecord_batches(filenames, feature_description, label=None,
                           batch_size: int = 256, num_epochs: Optional[int] = 1,
                           shuffle_buffer: int = 0, seed: int = 1024,
                           chunk_records: int = 16384,
-                          drop_remainder: bool = False):
+                          drop_remainder: bool = False,
+                          parse_threads: Optional[int] = None):
     """Stream ``(features_dict, labels_or_None)`` batches at constant memory.
 
     ``num_epochs=None`` repeats forever (the tf.data ``repeat()`` contract);
@@ -237,7 +240,7 @@ def iter_tfrecord_batches(filenames, feature_description, label=None,
         if shuffle_buffer and shuffle_buffer > batch_size:
             pool = _Pool(schema, shuffle_buffer + batch_size, rng)
             for chunk in iter_tfrecord_chunks(filenames, feature_description,
-                                              chunk_records):
+                                              chunk_records, parse_threads):
                 n = len(next(iter(chunk.values())))
                 pos = 0
                 while pos < n:
@@ -252,7 +255,7 @@ def iter_tfrecord_batches(filenames, feature_description, label=None,
             held: Dict[str, np.ndarray] = {}
             held_n = 0
             for chunk in iter_tfrecord_chunks(filenames, feature_description,
-                                              chunk_records):
+                                              chunk_records, parse_threads):
                 if held_n:
                     chunk = {k: np.concatenate([held[k], v])
                              for k, v in chunk.items()}

@@ -113,7 +113,7 @@ def hash_strings(strings, num_buckets: int, mask_zero: bool = False,
 
 
 def parse_examples_batch(data: np.ndarray, offsets: np.ndarray,
-                         lengths: np.ndarray, schema):
+                         lengths: np.ndarray, schema, nthreads=None):
     """Batch-decode tf.train.Example payloads into dense columns.
 
     ``data`` is the raw file bytes (uint8 array, possibly a mmap view),
@@ -150,10 +150,11 @@ def parse_examples_batch(data: np.ndarray, offsets: np.ndarray,
     offsets = np.ascontiguousarray(offsets, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int64)
     mt = getattr(lib, "parse_examples_mt", None)
-    if mt is not None and n >= 2048:
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    if mt is not None and n >= 2048 and nthreads > 1:
         # rows are independent; threads write disjoint row ranges
         # (bit-identical to the single-thread path)
-        nthreads = min(8, os.cpu_count() or 1)
         rc = mt(
             data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
             names.ctypes.data if nf else 0, name_off.ctypes.data,
