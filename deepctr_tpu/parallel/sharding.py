@@ -20,12 +20,27 @@ def _is_embedding_path(path) -> bool:
     return any(str(getattr(k, "key", k)).startswith("emb_") for k in path)
 
 
+# Size-based placement policy (the practical core of RecShard/TorchRec
+# table planners, arxiv 2201.10095): tables with fewer rows than this are
+# REPLICATED instead of row-sharded — a tiny table's local gather is
+# cheaper than the collective a sharded lookup pays, while big tables
+# must shard for capacity. 0 (default) shards everything divisible,
+# preserving maximal model-parallel coverage.
+_MIN_ROWS_TO_SHARD = {"value": 0}
+
+
+def set_min_rows_to_shard(rows: int):
+    """Tables with vocab < ``rows`` stay replicated under the mesh."""
+    _MIN_ROWS_TO_SHARD["value"] = int(rows)
+
+
 def param_partition_spec(path, leaf, mesh) -> P:
     maxis = model_axis(mesh)
     if maxis is not None and mesh.shape[maxis] > 1:
         if _is_embedding_path(path) and getattr(leaf, "ndim", 0) == 2:
             rows = leaf.shape[0]
-            if rows % mesh.shape[maxis] == 0:
+            if (rows % mesh.shape[maxis] == 0
+                    and rows >= _MIN_ROWS_TO_SHARD["value"]):
                 return P(maxis, None)
     return P()
 

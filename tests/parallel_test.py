@@ -256,3 +256,49 @@ def test_dien_fused_gru_on_mesh_loss_parity(mesh):
 
     base = run(False, False)
     np.testing.assert_allclose(run(True, True), base, rtol=2e-4)
+
+
+def test_min_rows_to_shard_placement_policy(mesh):
+    """Size-based placement (RecShard-style): small tables replicate,
+    big tables row-shard; loss trajectory unchanged either way."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import WDL
+    from deepctr_tpu.parallel import sharding as sh
+
+    cols = [SparseFeat("small", 16, 4), SparseFeat("big", 4096, 4),
+            DenseFeat("d", 1)]
+    rng = np.random.RandomState(0)
+    x = {"small": rng.randint(0, 16, 16).astype("int32"),
+         "big": rng.randint(0, 4096, 16).astype("int32"),
+         "d": rng.rand(16, 1).astype("float32")}
+    y = rng.randint(0, 2, 16).astype("float32")
+
+    def run(threshold):
+        sh.set_min_rows_to_shard(threshold)
+        try:
+            m = WDL(cols, cols, dnn_hidden_units=(4,))
+            m.compile("adam", "binary_crossentropy", mesh=mesh)
+            h = m.fit(x, y, batch_size=8, epochs=1, shuffle=False, verbose=0)
+            specs = {}
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    m.state.params)[0]:
+                name = "/".join(str(getattr(p, "key", p)) for p in path)
+                specs[name] = leaf.sharding.spec
+            return h.history["loss"], specs
+        finally:
+            sh.set_min_rows_to_shard(0)
+
+    loss0, specs0 = run(0)
+    loss1, specs1 = run(1024)
+    small0 = [v for k, v in specs0.items() if "emb_small" in k][0]
+    small1 = [v for k, v in specs1.items() if "emb_small" in k][0]
+    big1 = [v for k, v in specs1.items() if "emb_big" in k][0]
+    assert len(small0) and small0[0] == "model", small0  # default: sharded
+    assert small1 == P(), small1                         # policy: replicated
+    assert len(big1) and big1[0] == "model", big1        # big stays sharded
+    np.testing.assert_allclose(loss1, loss0, rtol=2e-5)
