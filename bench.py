@@ -38,6 +38,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        # persistent executable cache: a repeat run (same jax/config)
+        # skips the remote compile entirely; backends that cannot
+        # serialize executables degrade to a warning
+        from deepctr_tpu import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from deepctr_tpu import DenseFeat, SparseFeat
     from deepctr_tpu.features import canonicalize_batch
     from deepctr_tpu.models import DeepFM
