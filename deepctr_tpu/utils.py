@@ -38,6 +38,16 @@ def enable_compilation_cache(cache_dir=None, min_compile_time_secs=1.0):
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
+    try:
+        # JAX initializes the persistent cache once, at the first compile;
+        # if anything compiled before this call, the new dir would be
+        # silently ignored for the rest of the process without a reset.
+        from jax._src import compilation_cache as _cc
+
+        if _cc.is_initialized():
+            _cc.reset_cache()
+    except Exception:
+        pass
     return cache_dir
 
 
