@@ -10,6 +10,76 @@ from __future__ import annotations
 import numpy as np
 
 
+def is_stream(x):
+    """True for streaming inputs: a zero-arg ``input_fn`` callable (the
+    estimator-tier contract, estimator/inputs.py) or any iterator/generator
+    of ``(features_dict, labels[, sample_weight])`` batches (the Keras
+    ``fit(generator)`` contract the reference inherits from tf.keras).
+    In-memory mappings / DataFrames / arrays are not streams."""
+    if hasattr(x, "keys"):  # dict / DataFrame
+        return False
+    return callable(x) or hasattr(x, "__next__")
+
+
+class StreamSource:
+    """Adapts a streaming input into fixed-shape epoch iterators.
+
+    The first yielded batch fixes the static batch size; smaller (trailing)
+    batches are padded with repeated rows and zero sample-weights so jit
+    compiles exactly one program (same contract as ``iterate_batches``).
+
+    Epoch semantics:
+      - input_fn callable + no steps: each epoch is one pass of the
+        input_fn's iterator (restarted per epoch).
+      - input_fn callable + steps: the iterator keeps running across
+        epochs (the tf.data ``repeat()`` + steps_per_epoch contract).
+      - plain iterator: consumed continuously; once exhausted, subsequent
+        epochs yield nothing (fit stops).
+    """
+
+    def __init__(self, source, canon_item):
+        self._canon = canon_item  # (item, pad_to) -> (xb, yb, wb, n_real)
+        self._factory = source if callable(source) else None
+        self._it = None if self._factory else iter(source)
+        self._pushback = None
+        self.pad_to = None
+        self.exhausted = False
+
+    def _next_item(self):
+        if self._pushback is not None:
+            item, self._pushback = self._pushback, None
+            return item
+        if self._it is None:
+            self._it = iter(self._factory())
+        return next(self._it)
+
+    def peek_batch(self):
+        """First canonical batch (for model building) without consuming it."""
+        item = self._next_item()
+        self._pushback = item
+        batch = self._canon(item, None)
+        if self.pad_to is None:
+            self.pad_to = len(batch[2])
+        return batch
+
+    def epoch(self, steps=None):
+        count = 0
+        while steps is None or count < steps:
+            try:
+                item = self._next_item()
+            except StopIteration:
+                if self._factory is not None and steps is None:
+                    self._it = None  # restart the input_fn next epoch
+                else:
+                    self.exhausted = True
+                return
+            batch = self._canon(item, self.pad_to)
+            if self.pad_to is None:
+                self.pad_to = len(batch[2])
+            yield batch
+            count += 1
+
+
 def train_valid_split(x_dict, y, w, validation_split):
     """Keras semantics: the LAST fraction of the (unshuffled) data is held out."""
     n = len(y)

@@ -526,31 +526,96 @@ class CTRModel:
                 y = y[:, None]
         return np.ascontiguousarray(y, np.float32)
 
-    def fit(self, x, y, batch_size=256, epochs=1, verbose=1, initial_epoch=0,
+    def _canon_stream_item(self, item, pad_to, need_y=True):
+        """One yielded stream batch -> canonical (xb, yb, wb, n_real) with
+        static shapes (pad_to rows; padding rows weighted 0)."""
+        if isinstance(item, dict):
+            item = (item,)
+        if not isinstance(item, (tuple, list)) or not item:
+            raise ValueError(
+                "streams must yield (features_dict, labels[, sample_weight]) "
+                "tuples; got %r" % (type(item),))
+        xb = canonicalize_batch(item[0], self.feature_columns)
+        yv = item[1] if len(item) > 1 else None
+        if yv is None and need_y:
+            raise ValueError(
+                "fit/evaluate from a stream requires each batch to include "
+                "labels: yield (features_dict, labels)")
+        n_real = len(next(iter(xb.values())))
+        yb = self._canon_y(yv) if yv is not None else None
+        wb = (np.asarray(item[2], np.float32).reshape(-1)
+              if len(item) > 2 and item[2] is not None
+              else np.ones(n_real, np.float32))
+        if pad_to is not None:
+            if n_real > pad_to:
+                raise ValueError(
+                    "stream batch of %d rows exceeds the static batch size "
+                    "%d fixed by the first batch" % (n_real, pad_to))
+            pad = pad_to - n_real
+            if pad:
+                xb = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                      for k, v in xb.items()}
+                if yb is not None:
+                    yb = np.concatenate([yb, np.repeat(yb[-1:], pad, axis=0)])
+                wb = np.concatenate([wb, np.zeros(pad, np.float32)])
+        return xb, yb, wb, n_real
+
+    def fit(self, x, y=None, batch_size=256, epochs=1, verbose=1,
+            initial_epoch=0,
             validation_split=0.0, validation_data=None, shuffle=True,
             sample_weight=None, callbacks=None, profile_dir=None,
-            steps_per_execution=1):
+            steps_per_execution=1, steps_per_epoch=None):
         """``steps_per_execution=K`` (Keras parity, tf.keras compile arg)
         scans K optimizer steps inside ONE compiled call over K stacked
         batches — amortizes per-dispatch overhead (decisive when dispatch
         latency rivals step time, e.g. small batches or remote devices).
         The epoch's trailing ``steps % K`` batches run through the
         single-step program. Ignored under multi-process meshes (global
-        batch assembly is per-step there)."""
-        xc = canonicalize_batch(x, self.feature_columns)
-        yc = self._canon_y(y)
-        n = len(yc)
-        w = (
-            np.asarray(sample_weight, np.float32)
-            if sample_weight is not None
-            else np.ones(n, np.float32)
-        )
+        batch assembly is per-step there).
+
+        ``x`` may be a STREAM instead of in-memory data: a zero-arg
+        ``input_fn`` (estimator/inputs.py — e.g. ``input_fn_tfrecord``,
+        constant-memory mmap+C++ TFRecord pipeline) or any generator of
+        ``(features_dict, labels[, sample_weight])`` batches (the Keras
+        ``fit(generator)`` contract). ``y`` must then be None (labels come
+        with each batch), batching/shuffling belong to the pipeline
+        (``batch_size``/``shuffle`` are ignored), and ``steps_per_epoch``
+        bounds an epoch when the stream repeats. Composes with
+        ``steps_per_execution``."""
+        stream = None
+        if data_lib.is_stream(x):
+            if y is not None or sample_weight is not None:
+                raise ValueError(
+                    "when x is a stream, labels/sample weights travel with "
+                    "each yielded batch; pass y=None, sample_weight=None")
+            if validation_split:
+                raise ValueError(
+                    "validation_split requires in-memory x; pass "
+                    "validation_data instead")
+            stream = data_lib.StreamSource(x, self._canon_stream_item)
+            xc, _, _, _ = stream.peek_batch()
+            n = None
+            w = None
+            yc = None
+        else:
+            if y is None:
+                raise ValueError(
+                    "fit(x, y): y is required for in-memory x (only streams "
+                    "carry labels inside each batch)")
+            xc = canonicalize_batch(x, self.feature_columns)
+            yc = self._canon_y(y)
+            n = len(yc)
+            w = (
+                np.asarray(sample_weight, np.float32)
+                if sample_weight is not None
+                else np.ones(n, np.float32)
+            )
 
         val = None
         if validation_data is not None:
             vx, vy = validation_data[0], validation_data[1]
             val = (canonicalize_batch(vx, self.feature_columns), self._canon_y(vy))
-        elif validation_split and 0.0 < validation_split < 1.0:
+        elif stream is None and validation_split and 0.0 < validation_split < 1.0:
             (xc, yc, w), (vx, vy, _) = data_lib.train_valid_split(xc, yc, w, validation_split)
             val = (vx, vy)
             n = len(yc)
@@ -565,12 +630,18 @@ class CTRModel:
             self._multi_train_step = self._build_multi_train_step(spe)
             self._multi_k = spe
 
-        steps_per_epoch = data_lib.num_batches(n, batch_size)
+        if stream is not None:
+            epoch_steps = steps_per_epoch
+        else:
+            epoch_steps = data_lib.num_batches(n, batch_size)
+            if steps_per_epoch is not None:
+                epoch_steps = min(epoch_steps, int(steps_per_epoch))
         if verbose:
             print(
                 "Train on {} samples{}, {} steps per epoch".format(
-                    n, " validate on {} samples".format(len(val[1])) if val else "",
-                    steps_per_epoch,
+                    n if n is not None else "streamed",
+                    " validate on {} samples".format(len(val[1])) if val else "",
+                    epoch_steps if epoch_steps is not None else "unbounded",
                 )
             )
         callbacks = list(callbacks or [])
@@ -602,9 +673,18 @@ class CTRModel:
                     step_weights.append(b[3])
                 buf = []
 
-            for xb, yb, wb, n_real in data_lib.iterate_batches(
-                xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng
-            ):
+            if stream is not None:
+                batches = stream.epoch(steps=epoch_steps)
+            else:
+                batches = data_lib.iterate_batches(
+                    xc, yc, w, batch_size, shuffle=shuffle, rng=np_rng)
+                if steps_per_epoch is not None:
+                    import itertools
+
+                    batches = itertools.islice(batches, epoch_steps)
+            epoch_saw_data = False
+            for xb, yb, wb, n_real in batches:
+                epoch_saw_data = True
                 if profile_dir is not None:
                     # trace a small window of post-warmup steps
                     if global_step >= 5 and not profiling and global_step < 15:
@@ -641,6 +721,8 @@ class CTRModel:
                 )
                 step_losses.append(loss)
                 step_weights.append(n_real)
+            if stream is not None and not epoch_saw_data:
+                break  # plain iterator ran dry on an epoch boundary
             weight_sum = float(sum(step_weights))
             loss_sum = sum(
                 float(l) * n for l, n in zip(step_losses, step_weights)
@@ -666,10 +748,35 @@ class CTRModel:
             cb.on_train_end(self)
         return self.history
 
-    def predict(self, x, batch_size=256, verbose=0, _already_canonical=False):
+    def _predict_stream(self, x, steps=None, _collect_y=False):
+        """Forward pass over a stream (input_fn or generator yielding
+        features_dict or (features_dict, labels[, w]) batches)."""
+        stream = data_lib.StreamSource(
+            x, lambda item, pad: self._canon_stream_item(item, pad,
+                                                         need_y=_collect_y))
+        xc0, _, _, _ = stream.peek_batch()
+        self._ensure_built(xc0)
+        if self._predict_step is None:
+            self._predict_step = self._build_predict_step()
+        outs, ys = [], []
+        for xb, yb, wb, n_real in stream.epoch(steps=steps):
+            out = self._predict_step(self.state.params,
+                                     self.state.model_state, xb)
+            outs.append(np.asarray(out)[:n_real])
+            if _collect_y:
+                ys.append(yb[:n_real])
+        preds = np.concatenate(outs, axis=0)
+        if _collect_y:
+            return preds, np.concatenate(ys, axis=0)
+        return preds
+
+    def predict(self, x, batch_size=256, verbose=0, _already_canonical=False,
+                steps=None):
         # `verbose` accepted for Keras-surface compatibility (reference users
         # call model.predict(x, batch_size, verbose) per Quick-Start step 4)
         del verbose
+        if not _already_canonical and data_lib.is_stream(x):
+            return self._predict_stream(x, steps=steps)
         xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
         self._ensure_built(xc)
         if self._predict_step is None:
@@ -694,10 +801,20 @@ class CTRModel:
                 outs.append(np.asarray(out)[:n_real])
         return np.concatenate(outs, axis=0)
 
-    def evaluate(self, x, y, batch_size=256, verbose=0, _already_canonical=False):
-        xc = x if _already_canonical else canonicalize_batch(x, self.feature_columns)
-        yc = self._canon_y(y)
-        preds = self.predict(xc, batch_size=batch_size, _already_canonical=True)
+    def evaluate(self, x, y=None, batch_size=256, verbose=0,
+                 _already_canonical=False, steps=None):
+        if not _already_canonical and data_lib.is_stream(x):
+            if y is not None:
+                raise ValueError(
+                    "when x is a stream, labels travel with each yielded "
+                    "batch; pass y=None")
+            preds, yc = self._predict_stream(x, steps=steps, _collect_y=True)
+        else:
+            xc = x if _already_canonical else canonicalize_batch(
+                x, self.feature_columns)
+            yc = self._canon_y(y)
+            preds = self.predict(xc, batch_size=batch_size,
+                                 _already_canonical=True)
         preds = preds.reshape(len(yc), -1)
         w = np.ones(len(yc), np.float32)
         logs = {}

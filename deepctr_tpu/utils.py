@@ -42,12 +42,20 @@ def enable_compilation_cache(cache_dir=None, min_compile_time_secs=1.0):
         # JAX initializes the persistent cache once, at the first compile;
         # if anything compiled before this call, the new dir would be
         # silently ignored for the rest of the process without a reset.
-        from jax._src import compilation_cache as _cc
+        # reset_cache() is safe on an uninitialized cache, so call it
+        # unconditionally (is_initialized() now reports enabled-ness, not
+        # initialization, and would always be true here).
+        from jax.experimental.compilation_cache import \
+            compilation_cache as _cc
 
-        if _cc.is_initialized():
-            _cc.reset_cache()
+        _cc.reset_cache()
     except Exception:
-        pass
+        try:
+            from jax._src import compilation_cache as _cc_priv
+
+            _cc_priv.reset_cache()
+        except Exception:
+            pass
     return cache_dir
 
 
