@@ -217,6 +217,22 @@ class EmbeddingTables(nn.Module):
             )
         return self._table_raw(feat)
 
+    def _overflow_sink(self):
+        """Where the a2a capacity-drop counter lands: the 'lookup_stats'
+        collection (when mutable — the trainer requests it whenever an
+        explicit lookup_capacity is configured). reduce_fn adds, so the
+        counter accumulates across features AND across steps (total ids
+        silently zero-dropped since training began)."""
+        if not self.is_mutable_collection("lookup_stats"):
+            return None
+
+        def sink(n):
+            self.sow("lookup_stats", "a2a_overflow", n,
+                     init_fn=lambda: jnp.zeros((), jnp.int32),
+                     reduce_fn=lambda a, b: a + b)
+
+        return sink
+
     def _take_full(self, feat, fc_name, ids, cache):
         """One full-width gather per (table, ids) pair per funnel call.
 
@@ -225,11 +241,19 @@ class EmbeddingTables(nn.Module):
         on HLO CSE is not enough: autodiff transposes each take separately,
         so two takes become two backward scatter-adds (measured +10ms/step
         at the criteo shape) even though the forward gathers dedupe.
+
+        Under an active ``sharded_lookup_scope`` (compile(sharded_lookup=
+        "auto"|"a2a"|"psum") with a mesh) the gather routes through the
+        explicit shard_map exchange for row-sharded tables
+        (parallel/sharded_lookup.py) instead of jnp.take + auto-SPMD.
         """
         key = (feat.embedding_name, fc_name, ids.ndim)
         if cache is not None and key in cache:
             return cache[key]
-        full = jnp.take(self._full_table(feat), ids, axis=0, mode="clip")
+        from .parallel.sharded_lookup import routed_take
+
+        full = routed_take(self._full_table(feat), ids,
+                           overflow_sink=self._overflow_sink())
         if cache is not None:
             cache[key] = full
         return full

@@ -24,6 +24,7 @@ strategies:
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -70,7 +71,8 @@ def sharded_lookup(table, ids, mesh, model_axis="model", data_axis="data"):
 
 
 def sharded_lookup_a2a(table, ids, mesh, model_axis="model",
-                       data_axis="data", capacity=None):
+                       data_axis="data", capacity=None,
+                       return_overflow=False):
     """All-to-all row-sharded lookup (see module docstring).
 
     table (V, E) row-sharded over ``model_axis``; ids data-sharded on axis
@@ -82,6 +84,10 @@ def sharded_lookup_a2a(table, ids, mesh, model_axis="model",
     standard capacity-factor drop semantics; size capacity for your skew,
     or leave the exact default).
     Returns rows with shape ids.shape + (E,), data-sharded on axis 0.
+    ``return_overflow=True`` additionally returns the GLOBAL count of ids
+    dropped by capacity overflow this call (int32 scalar, replicated) — the
+    observability signal for a mis-sized capacity (a silent zero-row drop
+    in production is otherwise invisible).
     """
     V, E = table.shape
     n_model = mesh.shape[model_axis]
@@ -131,22 +137,29 @@ def sharded_lookup_a2a(table, ids, mesh, model_axis="model",
         # assemble the full data-shard batch on every model shard — the
         # all_gather also makes model-replication statically known
         out = jax.lax.all_gather(mine, model_axis, axis=0, tiled=True)[:B]
-        return out.reshape(ids_shard.shape + (E,))
+        out = out.reshape(ids_shard.shape + (E,))
+        if not return_overflow:
+            return out
+        n_drop = jnp.sum(~ok).astype(jnp.int32)
+        n_drop = jax.lax.psum(n_drop, axis_name=model_axis)
+        n_drop = jax.lax.psum(n_drop, axis_name=data_axis)
+        return out, n_drop
 
     # the all_gather over model_axis makes the output replicated over
     # 'model'; the static varying-axes analysis can't always infer that, so
     # disable the check (semantics verified by tests/parallel_test.py)
+    out_specs = (P(data_axis), P()) if return_overflow else P(data_axis)
     try:
         f = shard_map(
             local_lookup, mesh=mesh,
             in_specs=(P(model_axis, None), P(data_axis)),
-            out_specs=P(data_axis), check_vma=False,
+            out_specs=out_specs, check_vma=False,
         )
     except TypeError:  # older jax spells it check_rep
         f = shard_map(
             local_lookup, mesh=mesh,
             in_specs=(P(model_axis, None), P(data_axis)),
-            out_specs=P(data_axis), check_rep=False,
+            out_specs=out_specs, check_rep=False,
         )
     return f(table, ids)
 
@@ -157,3 +170,69 @@ def place_for_sharded_lookup(table, ids, mesh, model_axis="model",
     table = jax.device_put(table, NamedSharding(mesh, P(model_axis, None)))
     ids = jax.device_put(ids, NamedSharding(mesh, P(data_axis)))
     return table, ids
+
+
+# ---- product-path routing (compile(sharded_lookup=...)) ----------------
+# The funnel (inputs.py EmbeddingTables._take_full) consults this scope at
+# TRACE time, exactly like layers.base.compute_dtype: when a CTRModel was
+# compiled with sharded_lookup="auto"|"a2a"|"psum" and a mesh, eligible
+# table gathers route through the explicit shard_map programs above instead
+# of jnp.take + XLA auto-SPMD. Eligibility mirrors the table PLACEMENT
+# policy (sharding.param_partition_spec): only tables that are actually
+# row-sharded take the collective path; replicated tables keep the local
+# gather they were placed for.
+_LOOKUP_SCOPE = [None]
+
+
+@contextlib.contextmanager
+def sharded_lookup_scope(mode, mesh, capacity=None):
+    """Activate explicit sharded lookups for a trace. ``mode``:
+    'a2a' | 'psum' | 'auto' (a2a on model axes >= 4 — its ICI volume is
+    independent of the axis size — psum below, where the single all-reduce's
+    lower collective count wins)."""
+    _LOOKUP_SCOPE.append({"mode": mode, "mesh": mesh, "capacity": capacity})
+    try:
+        yield
+    finally:
+        _LOOKUP_SCOPE.pop()
+
+
+def active_lookup_scope():
+    return _LOOKUP_SCOPE[-1]
+
+
+def routed_take(table, ids, overflow_sink=None):
+    """The funnel's gather with scope routing. Returns jnp.take semantics
+    (mode='clip', rows shape ids.shape + (E,)); when a sharded_lookup_scope
+    is active and ``table`` is row-shardable under its mesh's placement
+    policy, the gather runs as the explicit shard_map exchange.
+    ``overflow_sink(count)`` receives the a2a capacity-drop counter when
+    the scope carries an explicit capacity."""
+    scope = active_lookup_scope()
+    if scope is not None and getattr(table, "ndim", 0) == 2:
+        from .mesh import data_axis as _daxis, model_axis as _maxis
+        from .sharding import _MIN_ROWS_TO_SHARD
+
+        mesh = scope["mesh"]
+        maxis = _maxis(mesh)
+        n_model = mesh.shape[maxis] if maxis else 1
+        V = table.shape[0]
+        if (maxis is not None and n_model > 1 and V % n_model == 0
+                and V >= _MIN_ROWS_TO_SHARD["value"]):
+            mode = scope["mode"]
+            if mode == "auto":
+                mode = "a2a" if n_model >= 4 else "psum"
+            if mode == "psum":
+                return sharded_lookup(table, ids, mesh, model_axis=maxis,
+                                      data_axis=_daxis(mesh))
+            if scope["capacity"] is not None and overflow_sink is not None:
+                rows, n_drop = sharded_lookup_a2a(
+                    table, ids, mesh, model_axis=maxis,
+                    data_axis=_daxis(mesh), capacity=scope["capacity"],
+                    return_overflow=True)
+                overflow_sink(n_drop)
+                return rows
+            return sharded_lookup_a2a(
+                table, ids, mesh, model_axis=maxis, data_axis=_daxis(mesh),
+                capacity=scope["capacity"])
+    return jnp.take(table, ids, axis=0, mode="clip")

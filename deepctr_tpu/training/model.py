@@ -85,6 +85,8 @@ class CTRModel:
         self.compute_dtype = None
         self.pallas_scatter_updates = False
         self.bf16_stochastic_rounding = False
+        self.sharded_lookup = None
+        self.lookup_capacity = None
         self._gather_plan = None
         self.history = History()
         self._train_step = None
@@ -102,7 +104,8 @@ class CTRModel:
                 mesh=None, sparse_embedding_updates=False, embedding_lr=0.01,
                 embedding_dtype=None, pallas_scatter_updates=False,
                 fused_gather_pool=None, bf16_stochastic_rounding=False,
-                compute_dtype=None, fused_attention=None, fused_gru=None):
+                compute_dtype=None, fused_attention=None, fused_gru=None,
+                sharded_lookup=None, lookup_capacity=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -116,6 +119,20 @@ class CTRModel:
         ``emb_*``) in bf16 — halves their HBM traffic (the dominant cost of
         CTR training); activations upcast at first use. Pair with
         ``embedding_split_optimizer()`` so optimizer accumulators stay f32.
+
+        ``sharded_lookup="auto"|"a2a"|"psum"`` (requires ``mesh``) routes
+        row-sharded table gathers through the EXPLICIT shard_map exchange
+        (parallel/sharded_lookup.py) instead of jnp.take + XLA auto-SPMD:
+        'psum' replicates lookup compute and all-reduces rows (what the
+        partitioner emits on its own — O(B*E*n_model) ICI bytes); 'a2a'
+        buckets ids to their owner shard, exchanges ids and rows with
+        all_to_all (O(B*E) ICI bytes, independent of the model-axis size —
+        the scaling-optimal pattern); 'auto' picks a2a on model axes >= 4.
+        Only tables the placement policy row-shards take the collective
+        path; the sparse engine's hoisted gathers are not affected.
+        ``lookup_capacity`` bounds the a2a per-owner exchange buckets
+        (capacity-factor semantics: overflowing ids read zero rows) and
+        enables the overflow counter (``model.lookup_overflow()``).
 
         ``compute_dtype="bfloat16"`` runs the forward/backward activations
         in bf16 (mixed precision): parameters stay f32 master weights and
@@ -172,6 +189,23 @@ class CTRModel:
                 "engine's scatter)"
             )
         self.bf16_stochastic_rounding = bf16_stochastic_rounding
+        if sharded_lookup not in (None, False, "auto", "a2a", "psum"):
+            raise ValueError(
+                "sharded_lookup must be None, 'auto', 'a2a' or 'psum'; "
+                "got %r" % (sharded_lookup,))
+        if sharded_lookup and mesh is None:
+            raise ValueError("sharded_lookup requires a mesh")
+        if lookup_capacity is not None and not sharded_lookup:
+            raise ValueError("lookup_capacity requires sharded_lookup")
+        if sharded_lookup and self.sparse_embedding_updates:
+            import warnings
+
+            warnings.warn(
+                "sharded_lookup only routes the dense lookup path; the "
+                "sparse engine's hoisted gathers stay with the XLA "
+                "partitioner", stacklevel=2)
+        self.sharded_lookup = sharded_lookup or None
+        self.lookup_capacity = lookup_capacity
         if fused_gather_pool is not None:
             # process-wide switch: varlen pooling through the Pallas fused
             # gather+pool kernel (ops/embedding.py) wherever eligible
@@ -218,6 +252,28 @@ class CTRModel:
         from ..layers.base import compute_dtype_scope
 
         return compute_dtype_scope(self.compute_dtype or jnp.float32)
+
+    def _apply_scope(self):
+        """Trace scopes for train/predict steps: compute dtype + (when
+        configured) explicit sharded lookups. Init/plan-discovery/export
+        traces use _cd_scope alone — they run eagerly on unsharded params,
+        where a collective lookup would be pure overhead."""
+        import contextlib
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(self._cd_scope())
+        if self.sharded_lookup and self.mesh is not None:
+            from ..parallel.sharded_lookup import sharded_lookup_scope
+
+            stack.enter_context(sharded_lookup_scope(
+                self.sharded_lookup, self.mesh, self.lookup_capacity))
+        return stack
+
+    def _train_mutable(self):
+        cols = ["batch_stats", "losses"]
+        if self.lookup_capacity is not None:
+            cols.append("lookup_stats")  # a2a overflow counter
+        return cols
 
     def _rebind_optimizer(self):
         params, model_state = self.state.params, self.state.model_state
@@ -401,11 +457,11 @@ class CTRModel:
 
             def loss_fn(params):
                 variables = {"params": params, **state.model_state}
-                with self._cd_scope():
+                with self._apply_scope():
                     out, mutated = module.apply(
                         variables, xb, training=True,
                         rngs={"dropout": rng},
-                        mutable=["batch_stats", "losses"],
+                        mutable=self._train_mutable(),
                     )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
@@ -460,11 +516,11 @@ class CTRModel:
                 params = se.merge_tables(dense_p, tables)
                 variables = {"params": params, "gathered": rows_,
                              **state.model_state}
-                with self._cd_scope():
+                with self._apply_scope():
                     out, mutated = module.apply(
                         variables, xb, training=True,
                         rngs={"dropout": rng},
-                        mutable=["batch_stats", "losses"],
+                        mutable=self._train_mutable(),
                     )
                 task_loss, _ = self._loss_from_outputs(out, yb, wb)
                 extra = _sum_losses_collection(mutated)
@@ -509,7 +565,7 @@ class CTRModel:
 
                 (xb,) = constrain_batch(mesh, xb)
             variables = {"params": params, **model_state}
-            with self._cd_scope():
+            with self._apply_scope():
                 return module.apply(variables, xb, training=False)
 
         return jax.jit(predict_step)
@@ -838,6 +894,19 @@ class CTRModel:
         if verbose:
             print(" - ".join("%s: %.4f" % kv for kv in logs.items()))
         return logs
+
+    def lookup_overflow(self):
+        """Total ids dropped by a2a capacity overflow since training began
+        (0 when none). Requires ``compile(sharded_lookup=..., mesh=...,
+        lookup_capacity=N)`` — with the default exact capacity nothing can
+        ever drop and no counter is tracked."""
+        if self.state is None:
+            return 0
+        col = self.state.model_state.get("lookup_stats")
+        if col is None:
+            return 0
+        return int(sum(int(np.asarray(leaf).sum())
+                       for leaf in jax.tree_util.tree_leaves(col)))
 
     def export_inference_fn(self):
         """A pure jitted ``fn(batch_dict) -> predictions`` closure over the

