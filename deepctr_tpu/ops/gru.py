@@ -11,7 +11,9 @@ scan unrolling measured no help).
 This kernel runs the ENTIRE sequence in one Pallas program:
 - layout is (T, E, B): batch on the LANE axis (128-wide, no padding waste
   at CTR dims, where E=8..32 in lanes would waste 4-16x), features on
-  sublanes. A block is Bt=256 batch lanes; the grid walks batch blocks.
+  sublanes. A block is Bt batch lanes (512/256/128, the widest whose
+  BACKWARD buffers fit Mosaic's 16 MB scoped-VMEM stack — E=U=64, T=50
+  needs Bt=128); the grid walks batch blocks.
 - the gate/candidate weights (pre-transposed, (3U, E+U) total — a few KB)
   sit in VMEM for the whole sequence; each timestep is two MXU calls
   (Wg^T @ [x;h], Wc^T @ [x;r*h]) with zero dispatch overhead between
@@ -36,9 +38,11 @@ E and U are padded to sublane multiples (8); padded weight rows/columns
 are zero, so padded hidden units stay exactly 0 through the recurrence
 (zg=0 -> u=0.5, c=0 -> h'=0.5*h from h0=0) and padded gradients vanish.
 
-Integration: ``CTRModel.compile(..., fused_gru=True)`` (or
-``set_fused_gru(True)``) routes ``layers.sequence._GRUScan`` — i.e.
-``DynamicGRU`` in DIEN — through this kernel.
+Integration: DEFAULT on the TPU backend (measured 9.8-13x over the scan
+fwd+bwd, DIEN +22% end-to-end — BASELINE.md round-3 table), shape-gated
+by ``fused_gru_supported``; other backends default to the scan.
+``CTRModel.compile(..., fused_gru=True/False)`` (or ``set_fused_gru``)
+overrides; ``None`` restores the backend auto policy.
 """
 from __future__ import annotations
 
@@ -48,34 +52,56 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-_BT = 256                  # batch lanes per grid block (2 lane tiles)
-_VMEM_BUDGET = 64 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit is 16 MB; the backward block must fit
+# under it WITH the pipeline's double buffering. Measured calibration
+# (v5e): (T=50, Ep=Up=64, Bt=256) allocates 25.67 MB — the estimate below
+# says 28.7 MB — so a ~15.5 MB estimate budget keeps real usage under 16.
+_SCOPED_VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
 def _pad8(n: int) -> int:
     return n + ((-n) % 8)
 
 
-def fused_gru_supported(T: int, E: int, U: int) -> bool:
-    """Shapes whose per-block buffers fit the VMEM budget (else XLA scan)."""
-    Ep, Up = _pad8(E), _pad8(U)
+def _block_bytes(T: int, Ep: int, Up: int, Bt: int) -> int:
     # bwd holds x, hseq, g, dx (T, Ep/Up, Bt) + m/a/da at sublane-8 pad,
     # double-buffered by the pipeline
-    per_block = 4 * _BT * T * (2 * Ep + 2 * Up + 3 * 8) * 2
-    return T >= 1 and per_block <= _VMEM_BUDGET
+    return 4 * Bt * T * (2 * Ep + 2 * Up + 3 * 8) * 2
 
 
-# process-wide funnel switch (same pattern as ops.attention)
-_FUSED_GRU = {"enabled": False, "interpret": False}
+def _pick_bt(T: int, E: int, U: int):
+    """Largest batch-lane block whose BACKWARD buffers fit scoped VMEM.
+    None when even the 128-lane minimum doesn't fit (fall back to scan)."""
+    Ep, Up = _pad8(E), _pad8(U)
+    for Bt in (512, 256, 128):
+        if _block_bytes(T, Ep, Up, Bt) <= _SCOPED_VMEM_BUDGET:
+            return Bt
+    return None
 
 
-def set_fused_gru(enabled: bool, interpret: bool = False):
-    """Enable/disable the fused GRU path inside layers.sequence._GRUScan."""
-    _FUSED_GRU["enabled"] = bool(enabled)
+def fused_gru_supported(T: int, E: int, U: int) -> bool:
+    """Shapes whose per-block buffers fit the VMEM budget (else XLA scan)."""
+    return T >= 1 and _pick_bt(T, E, U) is not None
+
+
+# process-wide funnel switch (same pattern as ops.attention). enabled=None
+# means AUTO: on for the TPU backend, where the kernel is a measured
+# 10-14x win over lax.scan (BASELINE.md: 36.1 -> 3.7 ms fwd+bwd at
+# B=4096 T=50 E=U=64 AUGRU, DIEN +22% end-to-end); off elsewhere
+# (interpret mode on CPU is for parity tests, not speed).
+_FUSED_GRU = {"enabled": None, "interpret": False}
+
+
+def set_fused_gru(enabled, interpret: bool = False):
+    """Enable/disable the fused GRU path inside layers.sequence._GRUScan
+    (None restores the backend-based AUTO default)."""
+    _FUSED_GRU["enabled"] = None if enabled is None else bool(enabled)
     _FUSED_GRU["interpret"] = bool(interpret)
 
 
 def fused_gru_enabled():
+    if _FUSED_GRU["enabled"] is None:
+        return jax.default_backend() == "tpu"
     return _FUSED_GRU["enabled"]
 
 
@@ -263,7 +289,11 @@ def _gru_core(x, m, a, Wg, bg, Wc, bc, gru_type, interpret, dims):
 def _gru_fwd(x, m, a, Wg, bg, Wc, bc, gru_type, interpret, dims):
     B, T, E, U = dims
     Ep, Up = _pad8(E), _pad8(U)
-    Bt = _BT
+    Bt = _pick_bt(T, E, U)
+    if Bt is None:
+        raise ValueError(
+            "fused GRU backward buffers exceed scoped VMEM at T=%d E=%d "
+            "U=%d; gate with fused_gru_supported()" % (T, E, U))
     Bp = B + ((-B) % Bt)
     xt, mt, at = _to_kernel_layout(x, m, a, B, T, Ep, Bp)
     Wgp, bgp, Wcp, bcp = _pad_weights(
@@ -289,7 +319,7 @@ def _gru_bwd(gru_type, interpret, dims, res, g):
     B, T, E, U = dims
     Ep, Up = _pad8(E), _pad8(U)
     Bp = xt.shape[-1]
-    Bt = _BT
+    Bt = _pick_bt(T, E, U)
     nb = Bp // Bt
     EUp = Ep + Up
     gt = jnp.transpose(g.astype(jnp.float32), (1, 2, 0))  # (T, U, B)

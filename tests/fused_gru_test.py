@@ -122,7 +122,7 @@ def test_dien_model_with_fused_gru_matches_scan():
 def test_fused_gru_multi_block_grid(monkeypatch, gru_type):
     """B > _BT exercises the batch grid: per-block weight-grad partials
     must sum to the scan's gradients."""
-    monkeypatch.setattr(G, "_BT", 8)  # 5 batch rows per... 8 lanes -> pad
+    monkeypatch.setattr(G, "_pick_bt", lambda T, E, U: 8)  # tiny lane blocks
     rng = np.random.RandomState(7)
     Bb = 20  # 3 blocks of 8 after padding
     x = jnp.asarray(rng.standard_normal((Bb, T, E)).astype(np.float32))
