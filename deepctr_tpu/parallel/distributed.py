@@ -61,6 +61,27 @@ def make_global_batch(mesh, *trees):
     return out if len(out) > 1 else out[0]
 
 
+def make_global_batch_stacked(mesh, *trees):
+    """Like ``make_global_batch`` for K-STACKED batches: each process
+    passes (K, local_rows, ...) arrays; the result is global arrays
+    sharded on axis 1 over the data axis (axis 0 is the scan axis of the
+    ``steps_per_execution`` multi-step program — identical K on every
+    process)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+
+    def conv(x):
+        x = np.asarray(x)
+        sharding = NamedSharding(
+            mesh, P(None, data_axis, *([None] * (x.ndim - 2))))
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    out = tuple(jax.tree.map(conv, t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
 def replicate_state_globally(state, mesh):
     """Turn host-identical TrainState leaves into global arrays placed by
     the standard sharding rules (params row-sharded when divisible,

@@ -626,8 +626,10 @@ class CTRModel:
         batches — amortizes per-dispatch overhead (decisive when dispatch
         latency rivals step time, e.g. small batches or remote devices).
         The epoch's trailing ``steps % K`` batches run through the
-        single-step program. Ignored under multi-process meshes (global
-        batch assembly is per-step there).
+        single-step program. Under multi-process meshes the K process-local
+        shards are assembled into (K, global_B, ...) arrays sharded on
+        axis 1 and scanned in one call — the regime (remote dispatch
+        latency across hosts) where amortization matters most.
 
         ``x`` may be a STREAM instead of in-memory data: a zero-arg
         ``input_fn`` (estimator/inputs.py — e.g. ``input_fn_tfrecord``,
@@ -680,8 +682,6 @@ class CTRModel:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         spe = max(int(steps_per_execution or 1), 1)
-        if self._is_multiprocess():
-            spe = 1
         if spe > 1 and (self._multi_train_step is None or self._multi_k != spe):
             self._multi_train_step = self._build_multi_train_step(spe)
             self._multi_k = spe
@@ -720,6 +720,14 @@ class CTRModel:
                       for k in buf[0][0]}
                 yK = np.stack([b[1] for b in buf])
                 wK = np.stack([b[2] for b in buf])
+                if self._is_multiprocess():
+                    # each buffered batch is THIS process's local shard;
+                    # assemble (K, global_B, ...) arrays sharded on axis 1
+                    from ..parallel.distributed import \
+                        make_global_batch_stacked
+
+                    xK, yK, wK = make_global_batch_stacked(
+                        self.mesh, xK, yK, wK)
                 self._rng, mrng = jax.random.split(self._rng)
                 self.state, losses, _ = self._multi_train_step(
                     self.state, xK, yK, wK, mrng

