@@ -94,7 +94,7 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     return batch * scan * calls / (time.perf_counter() - t0)
 
 
-def main(selected=None, mp=False, fused=False, fused_gru=False):
+def main(selected=None, mp=False, fused=False, fused_gru=False, scan=10):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -129,10 +129,11 @@ def main(selected=None, mp=False, fused=False, fused_gru=False):
             kw["fused_gru"] = True
         model.compile(embedding_split_optimizer(), "binary_crossentropy",
                       embedding_dtype="bfloat16", **kw)
-        rate = _measure(model, cols, x, batch)
+        rate = _measure(model, cols, x, batch, scan=scan)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",
                           "model": name, "batch": batch, "mp": mp,
                           "fused_attention": fused, "fused_gru": fused_gru,
+                          "scan": scan,
                           "value": round(rate, 1), "unit": "examples/s"}),
               flush=True)
 
@@ -147,4 +148,9 @@ if __name__ == "__main__":
     args.discard("--mp")
     args.discard("--fused")
     args.discard("--fused-gru")
-    main(args or None, mp=mp, fused=fused, fused_gru=fused_gru)
+    scan = 10
+    for a in list(args):
+        if a.startswith("--scan="):
+            scan = int(a.split("=", 1)[1])
+            args.discard(a)
+    main(args or None, mp=mp, fused=fused, fused_gru=fused_gru, scan=scan)
