@@ -34,7 +34,7 @@ def test_bench_models_smoke(monkeypatch, capsys):
 
     monkeypatch.setattr(bench_models, "_tabular_batch", small_tab)
     monkeypatch.setattr(bench_models, "_measure",
-                        lambda model, cols, x, batch, steps=30: 123.0)
+                        lambda model, cols, x, batch, **kw: 123.0)
     bench_models.main({"WDL"})
     line = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(line)

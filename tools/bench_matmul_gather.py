@@ -35,7 +35,7 @@ def make_kernel(V, E, R, interpret):
     from jax.experimental import pallas as pl
 
     def kernel(ids_ref, table_ref, out_ref):
-        ids = ids_ref[0]  # (R,) int32 in VMEM as (1, R)
+        ids = ids_ref[0, 0]  # (R,) int32 in VMEM as (1, 1, R)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (R, V), 1) == ids[:, None]
         ).astype(table_ref.dtype)
@@ -50,14 +50,16 @@ def make_kernel(V, E, R, interpret):
             kernel,
             grid=(N // R,),
             in_specs=[
-                pl.BlockSpec((1, R), lambda i: (i, 0)),
+                # 3D block whose last two dims EQUAL the array dims (the
+                # Mosaic (8,128)-divisibility rule exempts full dims)
+                pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0)),
                 # same block every step -> fetched to VMEM once, revisited
                 pl.BlockSpec((V, E), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((R, E), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((N, E), table.dtype),
             interpret=interpret,
-        )(ids.reshape(N // R, R), table)
+        )(ids.reshape(N // R, 1, R), table)
 
     return gather
 
