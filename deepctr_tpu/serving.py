@@ -30,8 +30,20 @@ from jax import export as jax_export
 from .features import canonicalize_batch
 
 
+def _weights_nbytes(model):
+    return sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree_util.tree_leaves(
+            (model.state.params, model.state.model_state)))
+
+
+# jax.export serializes through flatbuffers, which hard-caps the buffer
+# at 2 GB — weights baked as constants hit it at ~1B bf16 params.
+_BAKE_LIMIT_BYTES = int(1.8 * 2 ** 30)
+
+
 def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
-                     platforms=("cpu", "tpu")):
+                     platforms=("cpu", "tpu"), bake_weights=None):
     """Serialize ``model``'s inference function to a StableHLO artifact.
 
     example_batch: a feature dict (raw or canonical) used only for each
@@ -43,6 +55,14 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     ``platforms`` is baked into the artifact — the default covers the
     export-on-TPU / serve-on-CPU flow; exporting only for the current
     backend would make the artifact raise at call time elsewhere.
+
+    ``bake_weights``: True embeds the weights as constants (single-file
+    artifact). flatbuffers caps serialized artifacts at 2 GB, so
+    billion-parameter embedding models cannot bake; False exports the
+    graph with weights as ARGUMENTS and writes them to a ``path +
+    ".weights"`` msgpack sidecar (``load_stablehlo`` picks it up
+    transparently). Default (None): bake when the weights fit, sidecar
+    when they don't.
     """
     # The fused Pallas funnels must not leak into the artifact: a
     # tpu_custom_call pins it to one platform/Mosaic version, and the
@@ -59,8 +79,9 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     attn_ops.set_fused_attention(False)
     emb_ops.set_fused_gather_pool(False)
     gru_ops.set_fused_gru(False)
+    if bake_weights is None:
+        bake_weights = _weights_nbytes(model) <= _BAKE_LIMIT_BYTES
     try:
-        serve = model.export_inference_fn()
         xc = canonicalize_batch(example_batch, model.feature_columns)
 
         if polymorphic_batch:
@@ -73,7 +94,31 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
             spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                     for k, v in xc.items()}
 
-        exported = jax_export.export(serve, platforms=list(platforms))(spec)
+        if bake_weights:
+            serve = model.export_inference_fn()
+            exported = jax_export.export(
+                serve, platforms=list(platforms))(spec)
+        else:
+            module = model.module
+            cd_scope = model._cd_scope
+
+            @jax.jit
+            def serve_v(variables, batch):
+                with cd_scope():
+                    return module.apply(variables, batch, training=False)
+
+            variables = {"params": model.state.params,
+                         **model.state.model_state}
+            host_vars = jax.device_get(variables)
+            var_spec = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_vars)
+            exported = jax_export.export(
+                serve_v, platforms=list(platforms))(var_spec, spec)
+            import flax
+
+            with open(path + ".weights", "wb") as f:
+                f.write(flax.serialization.msgpack_serialize(
+                    host_vars, in_place=True))
     finally:
         attn_ops.set_fused_attention(*attn_was)
         emb_ops.set_fused_gather_pool(pool_was)
@@ -87,14 +132,24 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
 def load_stablehlo(path):
     """Load a serving artifact; returns ``fn(canonical_batch) -> preds``.
 
-    The artifact embeds the weights and the full compute graph — the
-    model-building code is not needed in the serving process.
+    Baked artifacts embed the weights; sidecar artifacts (exported with
+    ``bake_weights=False``) load them from ``path + ".weights"`` here —
+    either way the serving process needs no model-building Python.
     """
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
+    sidecar = path + ".weights"
+    if os.path.exists(sidecar):
+        import flax
 
-    def serve(batch):
-        return exported.call(batch)
+        with open(sidecar, "rb") as f:
+            variables = flax.serialization.msgpack_restore(f.read())
+
+        def serve(batch):
+            return exported.call(variables, batch)
+    else:
+        def serve(batch):
+            return exported.call(batch)
 
     return serve
 

@@ -38,9 +38,18 @@ def _ensure_built_for_io(model):
         model._ensure_built(_dummy_batch(model.feature_columns))
 
 
+def _weights_view(variables):
+    """Weight collections only: the 'lookup_stats' diagnostic counter
+    (a2a capacity-overflow total) is run-local, not a weight — keeping it
+    out makes weight files loadable into models compiled without it."""
+    ms = {k: v for k, v in variables["model_state"].items()
+          if k != "lookup_stats"}
+    return {"params": variables["params"], "model_state": ms}
+
+
 def save_weights(model, path):
     _ensure_built_for_io(model)
-    blob = flax.serialization.to_bytes(model.get_variables())
+    blob = flax.serialization.to_bytes(_weights_view(model.get_variables()))
     with open(path, "wb") as f:
         f.write(blob)
 
@@ -49,10 +58,13 @@ def load_weights(model, path):
     _ensure_built_for_io(model)
     with open(path, "rb") as f:
         blob = f.read()
-    target = model.get_variables()
-    restored = flax.serialization.from_bytes(target, blob)
+    live = model.get_variables()
+    restored = flax.serialization.from_bytes(_weights_view(live), blob)
+    model_state = dict(restored["model_state"])
+    if "lookup_stats" in live["model_state"]:
+        model_state["lookup_stats"] = live["model_state"]["lookup_stats"]
     model.state = model.state.replace(
-        params=restored["params"], model_state=restored["model_state"]
+        params=restored["params"], model_state=model_state
     )
     # optimizer state refers to the old params only structurally; keep it.
     model._predict_step = None

@@ -138,3 +138,52 @@ def test_export_with_fused_gru_enabled(tmp_path):
         assert fused_gru_enabled()  # flag restored after export
     finally:
         set_fused_gru(False)
+
+
+def test_sidecar_weights_export_parity(tmp_path):
+    """bake_weights=False: graph-only artifact + msgpack weight sidecar —
+    the path billion-parameter models MUST take (flatbuffers caps baked
+    artifacts at 2 GB). Prediction parity with the baked artifact and the
+    live model; polymorphic batch still works."""
+    cols, x, y = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    want = model.predict(x)
+
+    path = str(tmp_path / "deepfm_sidecar.shlo")
+    serving.export_stablehlo(model, path, example_batch=x,
+                             bake_weights=False)
+    import os
+
+    assert os.path.exists(path + ".weights")
+    serve = serving.load_stablehlo(path)
+    xc = canonicalize_batch(x, cols)
+    got = np.asarray(serve(xc))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+    # polymorphic batch: smaller slice through the same artifact
+    xs = {k: v[:8] for k, v in xc.items()}
+    got8 = np.asarray(serve(xs))
+    np.testing.assert_allclose(got8.reshape(-1), want.reshape(-1)[:8],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_auto_bake_threshold(monkeypatch, tmp_path):
+    """Default bake_weights=None sidesteps the flatbuffers cap
+    automatically when weights exceed the limit."""
+    cols, x, y = _fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    monkeypatch.setattr(serving, "_BAKE_LIMIT_BYTES", 1)  # force sidecar
+    path = str(tmp_path / "auto.shlo")
+    serving.export_stablehlo(model, path, example_batch=x)
+    import os
+
+    assert os.path.exists(path + ".weights")
+    got = np.asarray(serving.load_stablehlo(path)(
+        canonicalize_batch(x, cols)))
+    np.testing.assert_allclose(got.reshape(-1),
+                               model.predict(x).reshape(-1),
+                               rtol=1e-5, atol=1e-6)

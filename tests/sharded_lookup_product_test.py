@@ -186,3 +186,25 @@ def test_primitive_overflow_counter(mesh):
     for r in got:
         assert np.allclose(r, want_row) or np.allclose(r, 0.0)
     assert (np.abs(got).sum(axis=1) > 0).sum() == B - 16
+
+
+def test_weights_roundtrip_with_overflow_counter(mesh, tmp_path):
+    """save_weights from a model tracking lookup_stats must load into a
+    fresh model compiled WITHOUT the counter (and vice versa)."""
+    cols, x, y = _fixture()
+    m1 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m1.compile("adam", "binary_crossentropy", mesh=mesh,
+               sharded_lookup="a2a", lookup_capacity=16)
+    m1.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0)
+    p = str(tmp_path / "w.bin")
+    m1.save_weights(p)
+
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=9)
+    m2.compile("adam", "binary_crossentropy")
+    m2.load_weights(p)
+    np.testing.assert_allclose(m2.predict(x, batch_size=16),
+                               m1.predict(x, batch_size=16),
+                               rtol=2e-4, atol=2e-5)
+    # and back: plain weights into a counter-tracking model
+    m2.save_weights(p)
+    m1.load_weights(p)
