@@ -670,7 +670,14 @@ class CTRModel:
             )
 
         val = None
-        if validation_data is not None:
+        val_stream = None
+        if validation_data is not None and data_lib.is_stream(validation_data):
+            # a validation input_fn/generator: re-invoked (callable) or
+            # replayed-once (iterator: materialized below) per epoch
+            val_stream = validation_data
+            if not callable(val_stream):
+                val_stream = list(val_stream)  # replayable across epochs
+        elif validation_data is not None:
             vx, vy = validation_data[0], validation_data[1]
             val = (canonicalize_batch(vx, self.feature_columns), self._canon_y(vy))
         elif stream is None and validation_split and 0.0 < validation_split < 1.0:
@@ -795,6 +802,10 @@ class CTRModel:
             if val is not None:
                 val_logs = self.evaluate(val[0], val[1], batch_size=batch_size,
                                          _already_canonical=True)
+                logs.update({"val_" + k: v for k, v in val_logs.items()})
+            elif val_stream is not None:
+                src = val_stream if callable(val_stream) else iter(val_stream)
+                val_logs = self.evaluate(src)
                 logs.update({"val_" + k: v for k, v in val_logs.items()})
             self.history.append(epoch, logs)
             if verbose:

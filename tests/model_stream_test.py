@@ -190,3 +190,19 @@ def test_is_stream_classifier():
     assert not data_lib.is_stream({"a": np.zeros(3)})
     assert not data_lib.is_stream(np.zeros(3))
     assert not data_lib.is_stream([np.zeros(3)])
+
+
+@needs_sample
+def test_validation_data_stream():
+    """Keras generator contract: validation_data may be an input_fn
+    (re-invoked per epoch) or a finite iterator (replayed per epoch)."""
+    model = _small_model()
+    hist = model.fit(_stream_fn(num_epochs=1), epochs=2, verbose=0,
+                     validation_data=_stream_fn(num_epochs=1))
+    assert all(np.isfinite(v) for v in hist.history["val_loss"])
+    assert len(hist.history["val_loss"]) == 2
+
+    model2 = _small_model()
+    hist2 = model2.fit(_stream_fn(num_epochs=1), epochs=2, verbose=0,
+                       validation_data=_stream_fn(num_epochs=1)())
+    assert len(hist2.history["val_loss"]) == 2
