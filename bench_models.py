@@ -94,7 +94,7 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     return batch * scan * calls / (time.perf_counter() - t0)
 
 
-def main(selected=None, mp=False, fused=False, fused_gru=False, scan=10):
+def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -148,7 +148,7 @@ if __name__ == "__main__":
     args.discard("--mp")
     args.discard("--fused")
     args.discard("--fused-gru")
-    scan = 10
+    scan = 25
     for a in list(args):
         if a.startswith("--scan="):
             scan = int(a.split("=", 1)[1])

@@ -88,7 +88,9 @@ def main():
 
     a, b = fused(ids, table), xla(ids, table)
     jax.block_until_ready((a, b))
-    np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+    # MXU one-hot matmul runs bf16 passes -> bf16-class tolerance on the
+    # 200k-row reduction
+    np.testing.assert_allclose(float(a), float(b), rtol=2e-3)
     _ = float(a)  # honest mode
 
     out = {"rows": N, "vocab": V, "dim": E, "chunk": R}
