@@ -53,6 +53,41 @@ def _sequence_batch(batch, rng, maxlen=50):
     return cols, x
 
 
+def _dsin_batch(batch, rng, sess_count=5, sess_len=10):
+    """DSIN session fixture at production-ish shape: 5 sessions x 10 steps
+    of (item, cate) behaviors (reference dsin.py defaults)."""
+    from deepctr_tpu import DenseFeat, SparseFeat, VarLenSparseFeat
+
+    cols = [
+        SparseFeat("user", 100_000, 32),
+        SparseFeat("item", 200_000, 32),
+        SparseFeat("cate", 1_000, 32),
+        DenseFeat("score", 1),
+    ]
+    x = {
+        "user": rng.randint(0, 100_000, (batch, 1)).astype(np.int32),
+        "item": rng.randint(1, 200_000, (batch, 1)).astype(np.int32),
+        "cate": rng.randint(1, 1_000, (batch, 1)).astype(np.int32),
+        "score": rng.rand(batch, 1).astype(np.float32),
+    }
+    for s in range(sess_count):
+        cols += [
+            VarLenSparseFeat(SparseFeat("sess_%d_item" % s, 200_000, 32,
+                                        embedding_name="item"),
+                             maxlen=sess_len),
+            VarLenSparseFeat(SparseFeat("sess_%d_cate" % s, 1_000, 32,
+                                        embedding_name="cate"),
+                             maxlen=sess_len),
+        ]
+        x["sess_%d_item" % s] = rng.randint(
+            1, 200_000, (batch, sess_len)).astype(np.int32)
+        x["sess_%d_cate" % s] = rng.randint(
+            1, 1_000, (batch, sess_len)).astype(np.int32)
+    x["sess_length"] = rng.randint(1, sess_count + 1,
+                                   (batch, 1)).astype(np.int32)
+    return cols, x
+
+
 def _measure(model, cols, x, batch, scan=10, calls=3):
     """fit(steps_per_execution)-style dispatch: SCAN unrolled optimizer
     steps per compiled call with fresh ids per step (bench.py pattern) —
@@ -64,7 +99,8 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     from deepctr_tpu.features import canonicalize_batch
 
     rng = np.random.RandomState(1)
-    y = rng.randint(0, 2, batch).astype(np.float32)[:, None]
+    n_out = getattr(model, "num_outputs", 1) or 1
+    y = rng.randint(0, 2, (batch, n_out)).astype(np.float32)
     w = np.ones(batch, np.float32)
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
@@ -114,6 +150,16 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
                          seq_cols, seq_x, B_SEQ),
         "BST": lambda: (zoo.BST(seq_cols, ["item", "cate"], att_head_num=4),
                         seq_cols, seq_x, B_SEQ),
+        "DSIN": lambda: (lambda c_x: (zoo.DSIN(c_x[0], ["item", "cate"],
+                                               sess_max_count=5,
+                                               att_embedding_size=8,
+                                               att_head_num=8),
+                                      c_x[0], c_x[1], B_SEQ))(
+            _dsin_batch(B_SEQ, rng)),
+        "MMOE": lambda: (zoo.MMOE(tab_cols,
+                                  task_types=("binary", "binary"),
+                                  task_names=("ctr", "cvr")),
+                         tab_cols, tab_x, B_TAB),
     }
     for name, make in configs.items():
         if selected and name not in selected:
@@ -127,7 +173,10 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
         if fused_gru:
             # --fused-gru: whole-sequence Pallas GRU kernel (DIEN path)
             kw["fused_gru"] = True
-        model.compile(embedding_split_optimizer(), "binary_crossentropy",
+        loss = ("binary_crossentropy"
+                if getattr(model, "num_outputs", 1) <= 1
+                else ["binary_crossentropy"] * model.num_outputs)
+        model.compile(embedding_split_optimizer(), loss,
                       embedding_dtype="bfloat16", **kw)
         rate = _measure(model, cols, x, batch, scan=scan)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",

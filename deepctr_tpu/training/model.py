@@ -885,6 +885,10 @@ class CTRModel:
                     "batch; pass y=None")
             preds, yc = self._predict_stream(x, steps=steps, _collect_y=True)
         else:
+            if y is None:
+                raise ValueError(
+                    "evaluate(x, y): y is required for in-memory x (only "
+                    "streams carry labels inside each batch)")
             xc = x if _already_canonical else canonicalize_batch(
                 x, self.feature_columns)
             yc = self._canon_y(y)
