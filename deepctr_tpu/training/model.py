@@ -619,8 +619,10 @@ class CTRModel:
     def fit(self, x, y=None, batch_size=256, epochs=1, verbose=1,
             initial_epoch=0,
             validation_split=0.0, validation_data=None, shuffle=True,
-            sample_weight=None, callbacks=None, profile_dir=None,
-            steps_per_execution=1, steps_per_epoch=None):
+            sample_weight=None, class_weight=None, callbacks=None,
+            profile_dir=None,
+            steps_per_execution=1, steps_per_epoch=None,
+            validation_steps=None):
         """``steps_per_execution=K`` (Keras parity, tf.keras compile arg)
         scans K optimizer steps inside ONE compiled call over K stacked
         batches — amortizes per-dispatch overhead (decisive when dispatch
@@ -642,10 +644,13 @@ class CTRModel:
         ``steps_per_execution``."""
         stream = None
         if data_lib.is_stream(x):
-            if y is not None or sample_weight is not None:
+            if y is not None or sample_weight is not None \
+                    or class_weight is not None:
                 raise ValueError(
                     "when x is a stream, labels/sample weights travel with "
-                    "each yielded batch; pass y=None, sample_weight=None")
+                    "each yielded batch; pass y=None, sample_weight=None, "
+                    "class_weight=None (fold class weights into the "
+                    "stream's per-batch weights)")
             if validation_split:
                 raise ValueError(
                     "validation_split requires in-memory x; pass "
@@ -668,6 +673,13 @@ class CTRModel:
                 if sample_weight is not None
                 else np.ones(n, np.float32)
             )
+            if class_weight is not None:
+                # Keras fit(class_weight={label: weight}) parity —
+                # multiplies into the per-sample weights (binary/single
+                # task; label keys may be ints or floats)
+                cw = {float(k): float(v) for k, v in class_weight.items()}
+                w = w * np.vectorize(lambda v: cw.get(float(v), 1.0))(
+                    yc[:, 0]).astype(np.float32)
 
         val = None
         val_stream = None
@@ -805,7 +817,7 @@ class CTRModel:
                 logs.update({"val_" + k: v for k, v in val_logs.items()})
             elif val_stream is not None:
                 src = val_stream if callable(val_stream) else iter(val_stream)
-                val_logs = self.evaluate(src)
+                val_logs = self.evaluate(src, steps=validation_steps)
                 logs.update({"val_" + k: v for k, v in val_logs.items()})
             self.history.append(epoch, logs)
             if verbose:

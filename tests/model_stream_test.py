@@ -206,3 +206,33 @@ def test_validation_data_stream():
     hist2 = model2.fit(_stream_fn(num_epochs=1), epochs=2, verbose=0,
                        validation_data=_stream_fn(num_epochs=1)())
     assert len(hist2.history["val_loss"]) == 2
+
+
+def test_class_weight_matches_equivalent_sample_weight():
+    rng = np.random.RandomState(0)
+    cols = [SparseFeat("s", 10, 4), DenseFeat("d", 1)]
+    x = {"s": rng.randint(0, 10, (64, 1)), "d": rng.rand(64, 1)}
+    y = rng.randint(0, 2, 64).astype(np.float32)
+    import jax
+
+    m1 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=5)
+    m1.compile("adam")
+    m1.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0,
+           class_weight={0: 1.0, 1: 3.0})
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=5)
+    m2.compile("adam")
+    m2.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0,
+           sample_weight=np.where(y > 0.5, 3.0, 1.0).astype(np.float32))
+    for a, b in zip(jax.tree_util.tree_leaves(m1.state.params),
+                    jax.tree_util.tree_leaves(m2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@needs_sample
+def test_validation_steps_bounds_repeating_validation_stream():
+    model = _small_model()
+    hist = model.fit(_stream_fn(num_epochs=1), epochs=1, verbose=0,
+                     validation_data=_stream_fn(num_epochs=None),
+                     validation_steps=2)
+    assert np.isfinite(hist.history["val_loss"][0])
