@@ -23,11 +23,17 @@ publishes no numbers of its own, BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-BATCH = 32768
+# Batch sweep (one window, 2026-08-19): 32768 -> 1.68M, 65536 -> 1.99M,
+# 131072 -> 2.24M, 262144 -> 2.37M examples/s. Larger gathers pipeline
+# better (isolated random-row cost fell 20.5 -> 6.4 ns/row across the
+# sweep); 131072 sits at the knee with a 58 ms step. Override with
+# BENCH_BATCH.
+BATCH = int(os.environ.get("BENCH_BATCH", 131072))
 SCAN = 25    # optimizer steps unrolled inside one compiled call
 CALLS = 4    # timed calls (SCAN * CALLS steps total)
 # reference DeepCTR (TF), same workload, host CPU — tools/bench_reference_tf.py
