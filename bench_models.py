@@ -135,7 +135,10 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
     rng = np.random.RandomState(0)
-    B_TAB, B_SEQ = 32768, 4096
+    # B_SEQ=8192: measured knee of the sequence-model batch sweep
+    # (BASELINE.md round 3 — DIN +111%, DIEN +133%, DSIN +23% over 4096;
+    # BST flat). Bigger batches pipeline the history-row gathers better.
+    B_TAB, B_SEQ = 32768, 8192
     tab_cols, tab_x = _tabular_batch(B_TAB, rng)
     seq_cols, seq_x = _sequence_batch(B_SEQ, rng)
 
