@@ -36,6 +36,30 @@ def compute_dtype_scope(dtype):
         _COMPUTE_DTYPE.pop()
 
 
+# ---- rematerialization (activation recompute) -------------------------
+# jax.checkpoint on the transformer blocks (BST/DSIN): numerically EXACT
+# recompute-in-backward. MEASURED A NO-OP at CTR shapes (fresh-process
+# A/Bs on v5e, scan 10/25: speed within 1%, temp buffers 3.39 -> 3.38 GB
+# — XLA's scheduler already avoids saving these activations; an earlier
+# "+23%" was an in-process measurement-order artifact). Kept OPT-IN via
+# CTRModel.compile(remat=True) for regimes XLA may not cover (much longer
+# sequences); default off everywhere.
+_REMAT = [False]
+
+
+def remat_enabled():
+    return bool(_REMAT[-1])
+
+
+@contextlib.contextmanager
+def remat_scope(enabled):
+    _REMAT.append(enabled)
+    try:
+        yield
+    finally:
+        _REMAT.pop()
+
+
 def cast_cd(*arrays):
     """Cast arrays to the active compute dtype (no-op trees in f32 mode)."""
     cd = compute_dtype()

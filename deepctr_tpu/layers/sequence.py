@@ -551,6 +551,22 @@ class Transformer(nn.Module):
         return result
 
 
+def transformer_for_trace():
+    """Transformer class for the current trace: rematerialized when the
+    remat scope is on (layers/base.py; CTRModel.compile(remat=True) —
+    OFF by default: fresh-process A/Bs on v5e measured it a no-op at CTR
+    shapes, XLA already avoids saving these activations). jax.checkpoint
+    makes the backward recompute the attention/FFN activations — exact.
+    Callers must pass every argument POSITIONALLY (``training`` is
+    static argnum 7 — a traced ``training`` would branch nn.Dropout's
+    ``deterministic``)."""
+    from .base import remat_enabled
+
+    if remat_enabled():
+        return nn.remat(Transformer, static_argnums=(7,), prevent_cse=False)
+    return Transformer
+
+
 def k_max_pooling(x, k=1, axis=-1):
     """Top-k along ``axis``, sorted descending (reference KMaxPooling,
     layers/sequence.py:818-874). Uses lax.top_k on the moved axis."""

@@ -11,7 +11,8 @@ import flax.linen as nn
 
 from ...inputs import EmbeddingTables
 from ...layers.core import DNN, PredictionLayer
-from ...layers.sequence import AttentionSequencePoolingLayer, Transformer
+from ...layers.sequence import (AttentionSequencePoolingLayer,
+                                transformer_for_trace)
 from ...layers.utils import combined_dnn_input, concat_func, flatten
 from .._common import DenseLogit, register, unified_feature_columns
 from ...training.model import CTRModel
@@ -61,15 +62,16 @@ class BSTModule(nn.Module):
         transformer_output = hist_emb
         for i in range(self.transformer_num):
             att_embedding_size = transformer_output.shape[-1] // self.att_head_num
-            transformer_output = Transformer(
+            # transformer_for_trace: rematerialized under the remat scope
+            # (TPU default) — positional args, training static (argnum 7)
+            transformer_output = transformer_for_trace()(
                 att_embedding_size=att_embedding_size, head_num=self.att_head_num,
                 dropout_rate=self.dnn_dropout, use_positional_encoding=True,
                 use_res=True, use_feed_forward=True, use_layer_norm=True,
                 blinding=False, seed=self.seed, output_type=None,
                 name="transformer_%d" % i,
-            )(transformer_output, transformer_output,
-              query_lengths=user_behavior_length, key_lengths=user_behavior_length,
-              training=training)
+            )(transformer_output, transformer_output, None, None,
+              user_behavior_length, user_behavior_length, training)
 
         attn_output = AttentionSequencePoolingLayer(
             att_hidden_units=(64, 16), weight_normalization=True, name="attention",

@@ -18,7 +18,7 @@ from ...layers.sequence import (
     AttentionSequencePoolingLayer,
     BiasEncoding,
     BiLSTM,
-    Transformer,
+    transformer_for_trace,
 )
 from ...layers.utils import combined_dnn_input, concat_func, flatten
 from .._common import DenseLogit, register, unified_feature_columns
@@ -83,7 +83,9 @@ class DSINModule(nn.Module):
                 tr_input = [tr_input]
 
         # ---- shared-transformer interest extractor (dsin.py:161-167) ----
-        self_attention = Transformer(
+        # transformer_for_trace: rematerialized under the remat scope
+        # (TPU default) — positional args, training static (argnum 7)
+        self_attention = transformer_for_trace()(
             self.att_embedding_size, self.att_head_num, dropout_rate=0,
             use_layer_norm=False,
             use_positional_encoding=(not self.bias_encoding), seed=self.seed,
@@ -91,8 +93,7 @@ class DSINModule(nn.Module):
         )
         sess_fea = concat_func([
             self_attention(tr_input[i], tr_input[i],
-                           query_masks=tr_masks[i], key_masks=tr_masks[i],
-                           training=training)
+                           tr_masks[i], tr_masks[i], None, None, training)
             for i in range(self.sess_max_count)
         ], axis=1)  # (B, sess_max_count, E)
 

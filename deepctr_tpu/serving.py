@@ -81,6 +81,11 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     gru_ops.set_fused_gru(False)
     if bake_weights is None:
         bake_weights = _weights_nbytes(model) <= _BAKE_LIMIT_BYTES
+    # remat only pays in the backward pass; keep inference artifacts plain
+    from .layers.base import remat_scope
+
+    _remat_off = remat_scope(False)
+    _remat_off.__enter__()
     try:
         xc = canonicalize_batch(example_batch, model.feature_columns)
 
@@ -120,6 +125,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
                 f.write(flax.serialization.msgpack_serialize(
                     host_vars, in_place=True))
     finally:
+        _remat_off.__exit__(None, None, None)
         attn_ops.set_fused_attention(*attn_was)
         emb_ops.set_fused_gather_pool(pool_was)
         gru_ops.set_fused_gru(*gru_was)

@@ -87,6 +87,7 @@ class CTRModel:
         self.bf16_stochastic_rounding = False
         self.sharded_lookup = None
         self.lookup_capacity = None
+        self.remat = None
         self._gather_plan = None
         self.history = History()
         self._train_step = None
@@ -105,7 +106,7 @@ class CTRModel:
                 embedding_dtype=None, pallas_scatter_updates=False,
                 fused_gather_pool=None, bf16_stochastic_rounding=False,
                 compute_dtype=None, fused_attention=None, fused_gru=None,
-                sharded_lookup=None, lookup_capacity=None):
+                sharded_lookup=None, lookup_capacity=None, remat=None):
         """``sparse_embedding_updates=True`` enables the sparse embedding
         engine (training/sparse_embedding.py): embedding-table gradients stay
         row-sparse and tables update in-step with row-wise Adagrad at
@@ -119,6 +120,13 @@ class CTRModel:
         ``emb_*``) in bf16 — halves their HBM traffic (the dominant cost of
         CTR training); activations upcast at first use. Pair with
         ``embedding_split_optimizer()`` so optimizer accumulators stay f32.
+
+        ``remat=True`` rematerializes transformer activations (BST/DSIN):
+        the backward recomputes them instead of saving them — numerically
+        EXACT (jax.checkpoint). Measured a NO-OP at CTR shapes on v5e
+        (speed within 1%, temps unchanged — XLA already avoids saving
+        these activations), so it stays OFF by default; the knob exists
+        for regimes the scheduler may not cover (much longer sequences).
 
         ``sharded_lookup="auto"|"a2a"|"psum"`` (requires ``mesh``) routes
         row-sharded table gathers through the EXPLICIT shard_map exchange
@@ -206,6 +214,7 @@ class CTRModel:
                 "partitioner", stacklevel=2)
         self.sharded_lookup = sharded_lookup or None
         self.lookup_capacity = lookup_capacity
+        self.remat = remat
         if fused_gather_pool is not None:
             # process-wide switch: varlen pooling through the Pallas fused
             # gather+pool kernel (ops/embedding.py) wherever eligible
@@ -262,6 +271,10 @@ class CTRModel:
 
         stack = contextlib.ExitStack()
         stack.enter_context(self._cd_scope())
+        if self.remat is not None:
+            from ..layers.base import remat_scope
+
+            stack.enter_context(remat_scope(self.remat))
         if self.sharded_lookup and self.mesh is not None:
             from ..parallel.sharded_lookup import sharded_lookup_scope
 
