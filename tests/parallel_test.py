@@ -302,3 +302,35 @@ def test_min_rows_to_shard_placement_policy(mesh):
     assert small1 == P(), small1                         # policy: replicated
     assert len(big1) and big1[0] == "model", big1        # big stays sharded
     np.testing.assert_allclose(loss1, loss0, rtol=2e-5)
+
+
+def test_mesh_trained_weights_roundtrip_to_unmeshed_model(tmp_path, mesh):
+    """save_weights of a mesh-trained model (row-sharded tables live as
+    sharded jax.Arrays) must produce a weight file that loads into a fresh
+    UNMESHED model with prediction parity — the production path of
+    'train sharded, serve single-chip'."""
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import DeepFM
+
+    cols = [SparseFeat("c%d" % i, 64, 8) for i in range(3)]
+    cols += [DenseFeat("d", 1)]
+    rng = np.random.RandomState(7)
+    x = {"c0": rng.randint(0, 64, 32).astype("int32"),
+         "c1": rng.randint(0, 64, 32).astype("int32"),
+         "c2": rng.randint(0, 64, 32).astype("int32"),
+         "d": rng.rand(32, 1).astype("float32")}
+    y = rng.randint(0, 2, 32).astype("float32")
+
+    meshed = DeepFM(cols, cols, dnn_hidden_units=(8, 4))
+    meshed.compile("adam", "binary_crossentropy", mesh=mesh)
+    meshed.fit(x, y, batch_size=16, epochs=1, shuffle=False, verbose=0)
+    want = meshed.predict(x, batch_size=16)
+
+    path = str(tmp_path / "mesh_weights.msgpack")
+    meshed.save_weights(path)
+
+    plain = DeepFM(cols, cols, dnn_hidden_units=(8, 4))
+    plain.compile("adam", "binary_crossentropy")
+    plain.load_weights(path)
+    got = plain.predict(x, batch_size=16)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
