@@ -216,12 +216,14 @@ def _stringify(arr: np.ndarray) -> np.ndarray:
 
 
 def hash_array(arr, num_buckets: int, mask_zero: bool = False,
-               vocabulary_path=None, algorithm: str = "farmhash") -> np.ndarray:
+               vocabulary_path=None, algorithm: str = "farmhash",
+               default_value: int = 0) -> np.ndarray:
     """Vectorized host-side equivalent of the reference ``Hash`` layer call.
 
     ``algorithm="farmhash"`` (default) assigns the SAME buckets as TF's
     tf.strings.to_hash_bucket_fast; ``"fnv"`` keeps the legacy FNV-1a
-    assignment."""
+    assignment. ``default_value`` is the id for keys missing from
+    ``vocabulary_path`` (reference layers/utils.py Hash ``default_value``)."""
     arr = np.asarray(arr)
     str_arr = _stringify(arr)
 
@@ -230,7 +232,8 @@ def hash_array(arr, num_buckets: int, mask_zero: bool = False,
 
     if vocabulary_path:
         table = load_vocabulary(vocabulary_path)
-        uniq_ids = np.array([table.get(u, 0) for u in uniq], dtype=np.int64)
+        uniq_ids = np.array([table.get(u, default_value) for u in uniq],
+                            dtype=np.int64)
         return uniq_ids[inv].reshape(arr.shape).astype(np.int32)
 
     buckets = num_buckets - 1 if mask_zero else num_buckets

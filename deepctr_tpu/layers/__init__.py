@@ -38,7 +38,21 @@ from .sequence import (
     sequence_pooling,
     weighted_sequence,
 )
-from .utils import Linear, add_func, combined_dnn_input, concat_func, flatten
+from .utils import (
+    Concat,
+    Hash,
+    Linear,
+    NoMask,
+    add_func,
+    combined_dnn_input,
+    concat_func,
+    div,
+    flatten,
+    reduce_max,
+    reduce_mean,
+    reduce_sum,
+    softmax,
+)
 
 __all__ = [
     "Dice", "activation_fn",
@@ -53,4 +67,6 @@ __all__ = [
     "WeightedSequenceLayer", "k_max_pooling",
     "sequence_pooling", "weighted_sequence",
     "Linear", "add_func", "combined_dnn_input", "concat_func", "flatten",
+    "Concat", "Hash", "NoMask", "div", "reduce_max", "reduce_mean",
+    "reduce_sum", "softmax",
 ]

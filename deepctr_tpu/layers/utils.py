@@ -95,3 +95,77 @@ def combined_dnn_input(sparse_embedding_list, dense_value_list):
 
 def softmax(logits, axis=-1):
     return jax.nn.softmax(logits, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Drop-in migration shims for the rest of the reference's layers.utils
+# surface (utils.py:26-39 NoMask, 41-121 Hash, 189-233 Concat, 245-310
+# reduce_*/div). Masks are explicit in this framework, so NoMask/Concat
+# carry no mask machinery; Hash runs on HOST arrays (TPU has no string
+# ops — the feature pipeline hashes in canonicalize_batch, this class
+# exists for code that called the layer directly).
+# ---------------------------------------------------------------------------
+
+
+class NoMask:
+    """Identity; the reference uses it to strip Keras masks (utils.py:26-39).
+    Masks are explicit here, so this is a pure pass-through."""
+
+    def __call__(self, x, mask=None):
+        return x
+
+
+class Concat:
+    """Class form of :func:`concat_func` (reference utils.py:189-233).
+    ``supports_masking`` is accepted for signature parity; mask
+    propagation is the caller's job in this framework."""
+
+    def __init__(self, axis=-1, supports_masking=True):
+        self.axis = axis
+        self.supports_masking = supports_masking
+
+    def __call__(self, inputs):
+        return concat_func(inputs, axis=self.axis)
+
+
+class Hash:
+    """Host-side Hash (reference utils.py:41-121): hashes values into
+    [0, num_buckets) — or [1, num_buckets) with ``mask_zero`` (0 stays
+    0) — or looks ids up from a two-column CSV ``vocabulary_path``.
+    Operates on numpy arrays BEFORE device transfer (TPU has no string
+    ops); bucket assignment is bit-identical to TF's
+    to_hash_bucket_fast (FarmHash64, tests/hashing_test.py)."""
+
+    def __init__(self, num_buckets, mask_zero=False, vocabulary_path=None,
+                 default_value=0, **kwargs):
+        self.num_buckets = num_buckets
+        self.mask_zero = mask_zero
+        self.vocabulary_path = vocabulary_path
+        self.default_value = default_value
+
+    def __call__(self, x, mask=None, **kwargs):
+        from ..hashing import hash_array
+
+        return hash_array(x, self.num_buckets, mask_zero=self.mask_zero,
+                          vocabulary_path=self.vocabulary_path,
+                          default_value=self.default_value)
+
+
+def reduce_sum(input_tensor, axis=None, keep_dims=False, name=None):
+    """TF-compat shim (reference utils.py:245-258)."""
+    return jnp.sum(input_tensor, axis=axis, keepdims=keep_dims)
+
+
+def reduce_mean(input_tensor, axis=None, keep_dims=False, name=None):
+    """TF-compat shim (reference utils.py:260-273)."""
+    return jnp.mean(input_tensor, axis=axis, keepdims=keep_dims)
+
+
+def reduce_max(input_tensor, axis=None, keep_dims=False, name=None):
+    """TF-compat shim (reference utils.py:275-288)."""
+    return jnp.max(input_tensor, axis=axis, keepdims=keep_dims)
+
+
+def div(x, y, name=None):
+    """TF-compat shim (reference utils.py:290-301)."""
+    return x / y

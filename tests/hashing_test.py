@@ -128,3 +128,20 @@ class TestFarmhashParity:
         vals = np.array(["a", "b"], dtype=object)
         out = hash_array(vals, 100, algorithm="fnv")
         assert out[0] == fnv1a_64(b"a") % 100
+
+
+def test_vocabulary_default_value(vocab_csv):
+    out = hash_array(np.array(["miss"]), 4, vocabulary_path=vocab_csv,
+                     default_value=-1)
+    np.testing.assert_array_equal(out, [-1])
+
+
+def test_hash_layer_shim(vocab_csv):
+    """layers.Hash — host-side class form of hash_array (reference
+    layers/utils.py:41-121 call semantics)."""
+    from deepctr_tpu.layers import Hash
+
+    out = Hash(4, vocabulary_path=vocab_csv)(np.array(["lake", "nope"]))
+    np.testing.assert_array_equal(out, [1, 0])
+    masked = Hash(10, mask_zero=True)(np.array(["0", "a"]))
+    assert masked[0] == 0 and 1 <= masked[1] < 10

@@ -98,3 +98,23 @@ def test_Linear_modes():
         variables = layer.init({"params": jax.random.PRNGKey(0)}, *args)
         out = layer.apply(variables, *args)
         assert out.shape == (B, 1)
+
+
+def test_migration_shims_nomask_concat_reduce():
+    """NoMask/Concat/reduce_*/div drop-in parity (reference
+    layers/utils.py:26-39,189-233,245-310)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepctr_tpu.layers import (Concat, NoMask, div, reduce_max,
+                                    reduce_mean, reduce_sum)
+
+    x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(2, 3))
+    assert (NoMask()(x) == x).all()
+    cat = Concat(axis=-1)([x, x])
+    assert cat.shape == (2, 6)
+    np.testing.assert_allclose(reduce_sum(x, axis=1, keep_dims=True),
+                               np.sum(np.asarray(x), 1, keepdims=True))
+    np.testing.assert_allclose(reduce_mean(x, axis=0), np.mean(np.asarray(x), 0))
+    np.testing.assert_allclose(reduce_max(x), np.max(np.asarray(x)))
+    np.testing.assert_allclose(div(x, jnp.full_like(x, 2.0)), np.asarray(x) / 2)
