@@ -276,3 +276,17 @@ def canonicalize_batch(x, feature_columns, hash_fn=None):
         target_dtype = np.int32 if spec.dtype == "int32" else np.float32
         out[name] = np.ascontiguousarray(arr, dtype=target_dtype)
     return out
+
+
+def mergeDict(a, b):
+    """Merge two dict-of-lists by extending per key (reference
+    inputs.py:175-181; exported via feature_column). Kept for drop-in
+    parity with code that grouped embedding lookups this way."""
+    from collections import defaultdict
+
+    c = defaultdict(list)
+    for k, v in a.items():
+        c[k].extend(v)
+    for k, v in b.items():
+        c[k].extend(v)
+    return c
