@@ -25,10 +25,22 @@ def unified_feature_columns(*column_lists):
 
 
 def register(fn):
-    """Record the factory call on the returned CTRModel for save_model."""
+    """Record the factory call on the returned CTRModel for save_model.
+
+    Also the single entry point where tf.feature_column-style compat
+    columns (deepctr_tpu/feature_column.py — the reference estimator
+    surface, ref estimator/feature_column.py:7-45) are converted to
+    framework SparseFeat/DenseFeat specs, so every factory — model and
+    estimator tier alike — accepts them. Conversion happens BEFORE the
+    call is recorded, so save_model/load_model round-trips see only
+    framework specs."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        from ..feature_column import convert_if_compat
+
+        args = tuple(convert_if_compat(a) for a in args)
+        kwargs = {k: convert_if_compat(v) for k, v in kwargs.items()}
         model = fn(*args, **kwargs)
         sig = inspect.signature(fn)
         bound = sig.bind(*args, **kwargs)
