@@ -1,11 +1,15 @@
 """Estimator API + pandas input_fn on criteo sample
-(parity with reference examples/run_estimator_pandas_classification.py)."""
+(parity with reference examples/run_estimator_pandas_classification.py).
+
+Columns are built in the reference script's own tf.feature_column style
+via the migration shim (deepctr_tpu.feature_column) — framework
+SparseFeat/DenseFeat specs work identically (see other examples)."""
 import pandas as pd
 from sklearn.metrics import log_loss, roc_auc_score
 from sklearn.model_selection import train_test_split
 from sklearn.preprocessing import LabelEncoder, MinMaxScaler
 
-from deepctr_tpu import DenseFeat, SparseFeat
+from deepctr_tpu import feature_column as fc
 from deepctr_tpu.estimator import DeepFMEstimator, input_fn_pandas
 
 from utils import data_path
@@ -23,10 +27,15 @@ if __name__ == "__main__":
         data[feat] = LabelEncoder().fit_transform(data[feat])
     data[dense_features] = MinMaxScaler().fit_transform(data[dense_features])
 
-    linear_feature_columns = [
-        SparseFeat(f, data[f].max() + 1, 4) for f in sparse_features
-    ] + [DenseFeat(f, 1) for f in dense_features]
-    dnn_feature_columns = linear_feature_columns
+    dnn_feature_columns = []
+    linear_feature_columns = []
+    for feat in sparse_features:
+        ident = fc.categorical_column_with_identity(feat, data[feat].max() + 1)
+        dnn_feature_columns.append(fc.embedding_column(ident, 4))
+        linear_feature_columns.append(ident)
+    for feat in dense_features:
+        dnn_feature_columns.append(fc.numeric_column(feat))
+        linear_feature_columns.append(fc.numeric_column(feat))
 
     train, test = train_test_split(data, test_size=0.2, random_state=2021)
     feature_names = sparse_features + dense_features
