@@ -159,6 +159,24 @@ def embedding_column(categorical_column, dimension, combiner="mean",
         raise NotImplementedError(
             "embedding_column(ckpt_to_load_from=...): load weights through "
             "the framework checkpoint API instead (save_model/load_model).")
+    mod = type(initializer).__module__ or ""
+    if mod.startswith(("tensorflow", "keras", "tf_keras")):
+        # TF initializers are callable but with (shape, dtype) convention —
+        # they would fail deep inside jit; fail here with the fix instead.
+        raise ValueError(
+            "embedding_column(initializer=%r): TF initializer objects are "
+            "not supported. Pass a declarative spec such as "
+            "('truncated_normal', mean, stddev) / ('normal', mean, stddev) /"
+            " ('zeros',), or a JAX-style callable (key, shape, dtype) -> "
+            "array. Default (None) uses the framework embedding init "
+            "(RandomNormal stddev=1e-4, the reference Keras tier's "
+            "default)." % (initializer,))
+    # Deliberate deviation: None keeps the framework default
+    # (RandomNormal 1e-4 — the reference's *Keras-tier* embedding init,
+    # feature_column.py:46) rather than tf.feature_column's
+    # truncated_normal(1/sqrt(dim)), which measurably degrades
+    # small-sample quality. Pass ('truncated_normal', 0.0,
+    # dimension ** -0.5) to reproduce the TF estimator-tier init exactly.
     return EmbeddingColumn(categorical_column, int(dimension), combiner,
                            initializer, max_norm, bool(trainable))
 

@@ -50,6 +50,20 @@ def test_vocabulary_file_conversion(tmp_path):
     assert s.use_hash and s.vocabulary_path == str(vocab)
     assert s.vocabulary_size == 4  # 3 entries + OOV/default row
 
+def test_tf_initializer_object_rejected_with_guidance():
+    class _FakeTFInit:  # stands in for tf.keras.initializers.TruncatedNormal
+        pass
+    _FakeTFInit.__module__ = "keras.initializers"
+    ident = fc.categorical_column_with_identity("C1", 10)
+    with pytest.raises(ValueError, match="declarative spec"):
+        fc.embedding_column(ident, 4, initializer=_FakeTFInit())
+    # declarative tuple spec reproduces the TF estimator-tier default
+    col = fc.embedding_column(ident, 4,
+                              initializer=("truncated_normal", 0.0, 0.5))
+    (s,) = fc.to_feature_columns([col])
+    assert s.embeddings_initializer == ("truncated_normal", 0.0, 0.5)
+
+
 def test_vocabulary_list_raises_with_guidance():
     with pytest.raises(NotImplementedError, match="vocabulary_file"):
         fc.categorical_column_with_vocabulary_list("x", ["a", "b"])
