@@ -24,6 +24,14 @@ def unified_feature_columns(*column_lists):
     return out
 
 
+# factory name -> factory fn, for save_model/load_model round-trips.
+# Built-in zoo factories land here on import; USER-DEFINED factories
+# decorated with @register do too — which is what lets load_model rebuild
+# a custom model (docs/Custom-Models.md), provided the defining module is
+# imported before load_model is called.
+FACTORY_REGISTRY = {}
+
+
 def register(fn):
     """Record the factory call on the returned CTRModel for save_model.
 
@@ -48,6 +56,7 @@ def register(fn):
         model._build_spec = (fn.__name__, dict(bound.arguments))
         return model
 
+    FACTORY_REGISTRY[fn.__name__] = wrapper
     return wrapper
 
 

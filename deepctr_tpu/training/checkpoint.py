@@ -219,7 +219,17 @@ def load_model(path):
 
     factory = getattr(models_lib, payload["factory"], None)
     if factory is None:
-        raise ValueError("Unknown model factory '{}'".format(payload["factory"]))
+        # user-defined factories decorated with @register
+        # (docs/Custom-Models.md) — resolvable once their module is imported
+        from ..models._common import FACTORY_REGISTRY
+
+        factory = FACTORY_REGISTRY.get(payload["factory"])
+    if factory is None:
+        raise ValueError(
+            "Unknown model factory '{}'. For a custom model, import the "
+            "module that defines the @register-decorated factory before "
+            "calling load_model (docs/Custom-Models.md).".format(
+                payload["factory"]))
     kwargs = _decode(payload["kwargs"])
     model = factory(**kwargs)
     cc = payload.get("compile", {})
