@@ -204,3 +204,33 @@ def test_training_chief_hooks_fire_and_config_warns():
         warnings.simplefilter("always")
         DeepFMEstimator(cols, cols, dnn_hidden_units=(8,), config=object())
     assert any("signature parity" in str(w.message) for w in rec)
+
+
+@_needs_reference
+def test_input_fn_tfrecord_accepts_tf_io_descriptions():
+    """Migration compat: reference scripts pass tf.io.FixedLenFeature
+    descriptions (ref examples/run_estimator_tfrecord_classification.py:
+    feature_description built from tf.io.FixedLenFeature). The parser
+    duck-types .shape/.dtype/.default_value, so TF's own objects work
+    unchanged — results must match the framework's FixedLenFeature."""
+    tf = pytest.importorskip("tensorflow")
+    sparse = ["C%d" % i for i in range(1, 27)]
+    dense = ["I%d" % i for i in range(1, 14)]
+    tf_desc = {k: tf.io.FixedLenFeature((1,), tf.int64) for k in sparse}
+    tf_desc.update({k: tf.io.FixedLenFeature((1,), tf.float32) for k in dense})
+    tf_desc["label"] = tf.io.FixedLenFeature((1,), tf.float32)
+    ours = {k: FixedLenFeature((1,), "int64") for k in sparse}
+    ours.update({k: FixedLenFeature((1,), "float32") for k in dense})
+    ours["label"] = FixedLenFeature((1,), "float32")
+
+    def first_batch(desc):
+        fn = input_fn_tfrecord(TFRECORD_TRAIN, desc, "label", batch_size=64,
+                               num_epochs=1, shuffle_factor=0)
+        return next(iter(fn()))
+
+    xa, ya = first_batch(tf_desc)
+    xb, yb = first_batch(ours)
+    assert xa["C1"].dtype == np.int64 and xa["I1"].dtype == np.float32
+    np.testing.assert_array_equal(ya, yb)
+    for k in ("C1", "C26", "I1", "I13"):
+        np.testing.assert_array_equal(xa[k], xb[k])
