@@ -1,0 +1,10 @@
+"""Top-level callbacks alias (Keras-surface ergonomics).
+
+Reference users write ``from tensorflow.keras.callbacks import
+EarlyStopping, ModelCheckpoint`` (ref docs/source/FAQ.md usage snippets);
+the equivalents live in ``training/callbacks.py`` and are re-exported
+here so the import is one obvious line.
+"""
+from .training.callbacks import Callback, EarlyStopping, ModelCheckpoint
+
+__all__ = ["Callback", "EarlyStopping", "ModelCheckpoint"]
