@@ -258,6 +258,21 @@ def convert_if_compat(obj):
     return obj
 
 
+
+# Reference functional custom-model API: the reference re-exports these from
+# deepctr.feature_column (they are defined across its feature_column.py and
+# inputs.py); custom models import them from either module.
+from .inputs import (  # noqa: F401,E402
+    create_embedding_matrix,
+    embedding_lookup,
+    get_dense_input,
+    get_linear_logit,
+    get_varlen_pooling_list,
+    input_from_feature_columns,
+    varlen_embedding_lookup,
+)
+from .layers.utils import Linear, concat_func  # noqa: F401,E402
+
 __all__ = [
     "DEFAULT_GROUP_NAME", "DenseFeat", "SparseFeat", "VarLenSparseFeat",
     "build_input_features", "build_input_schema", "get_feature_names",
@@ -267,4 +282,8 @@ __all__ = [
     "categorical_column_with_vocabulary_list", "numeric_column",
     "embedding_column", "to_feature_columns", "is_compat_column",
     "convert_if_compat",
+    "create_embedding_matrix", "embedding_lookup", "get_dense_input",
+    "get_linear_logit", "get_varlen_pooling_list",
+    "input_from_feature_columns", "varlen_embedding_lookup", "Linear",
+    "concat_func",
 ]

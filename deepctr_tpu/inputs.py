@@ -25,9 +25,17 @@ import jax
 import jax.numpy as jnp
 
 from .features import DenseFeat, SparseFeat, VarLenSparseFeat, split_columns
+from .features import mergeDict  # noqa: F401  (reference inputs.py export)
 from .layers.base import compute_dtype
 from .layers.base import l2_reg as _l2_reg
 from .layers.sequence import sequence_pooling, weighted_sequence
+# Reference export parity: the reference inputs.py re-exports these layer
+# classes and user code imports them from deepctr.inputs.
+from .layers.sequence import (  # noqa: F401
+    SequencePoolingLayer,
+    WeightedSequenceLayer,
+)
+from .layers.utils import Hash  # noqa: F401
 
 # Rows-collection key prefix for folded wide-tower lookups (so the sparse
 # engine stores a feature's linear rows separately from its main rows).
@@ -190,6 +198,24 @@ class EmbeddingTables(nn.Module):
         if not feat.trainable:
             t = jax.lax.stop_gradient(t)
         return t
+
+    def __getitem__(self, embedding_name):
+        """Dict-style access (reference ``embedding_dict[name](ids)``,
+        inputs.py:74-89): returns a row-lookup callable for one shared
+        table, so custom-model code written against the reference's
+        dict-of-Embedding container ports verbatim. Routes through
+        ``_table`` (the 'direct' gather marker keeps the sparse-update
+        engine's dense-grad bookkeeping correct)."""
+        feat = self._plan[embedding_name]
+
+        def lookup_rows(ids):
+            from .parallel.sharded_lookup import routed_take
+
+            ids = jnp.asarray(ids).astype(jnp.int32)
+            return routed_take(self._table(feat), ids,
+                               overflow_sink=self._overflow_sink())
+
+        return lookup_rows
 
     def _full_table(self, feat):
         """Deep table with the folded wide-tower column appended (the fold:
@@ -568,3 +594,138 @@ class LinearLogit(nn.Module):
                            name="linear_%d" % i)(sparse_input, dense_input)
             logits.append(logit)
         return concat_func(logits) if len(logits) > 1 else logits[0]
+
+
+# ---------------------------------------------------------------------------
+# Reference functional custom-model API (deepctr/inputs.py:40-158 +
+# deepctr/feature_column.py:93-233).
+#
+# The reference exposes a functional toolkit for custom models: build an
+# embedding container once, then look up / pool / combine. Here every name
+# maps onto the single EmbeddingTables funnel (dedup, compat checks, hashing,
+# masks, engine/sharded-lookup routing all live there), so custom models get
+# the same TPU path as the zoo. Each function must run inside a flax module
+# context (an ``@nn.compact`` ``__call__``) — the same way the reference
+# versions must run inside a Keras functional graph. docs/Custom-Models.md
+# shows the ported recipe.
+# ---------------------------------------------------------------------------
+
+
+def get_inputs_list(inputs):
+    """Flatten a list of (possibly None) feature dicts into one list of
+    values (reference inputs.py:40-41)."""
+    return list(chain(*(d.values() for d in inputs if d is not None)))
+
+
+def create_embedding_matrix(feature_columns, l2_reg, seed=1024, prefix="",
+                            seq_mask_zero=True):
+    """Embedding container for ``feature_columns`` (reference
+    feature_column.py:93-101). TPU design: ONE ``EmbeddingTables`` module
+    instead of a dict of Keras layers — index it by ``embedding_name`` for a
+    row-lookup callable, or call its lookup/pool methods. ``seed`` is
+    accepted for signature parity (initializer keys come from the flax RNG
+    tree)."""
+    del seed
+    return EmbeddingTables(
+        tuple(feature_columns), l2_reg,
+        prefix=(prefix + "sparse") if prefix else "sparse",
+        seq_mask_zero=seq_mask_zero,
+        name=(prefix + "embeddings") if prefix else "embeddings",
+    )
+
+
+def create_embedding_dict(sparse_feature_columns, varlen_sparse_feature_columns,
+                          seed, l2_reg, prefix="sparse_", seq_mask_zero=True):
+    """Reference inputs.py:44-72 — same container as
+    :func:`create_embedding_matrix`, built from pre-split column lists."""
+    del seed
+    cols = tuple(sparse_feature_columns or ()) + tuple(
+        varlen_sparse_feature_columns or ())
+    return EmbeddingTables(
+        cols, l2_reg, prefix=prefix, seq_mask_zero=seq_mask_zero,
+        name=prefix + "embeddings",
+    )
+
+
+def embedding_lookup(sparse_embedding_dict, sparse_input_dict,
+                     sparse_feature_columns, return_feat_list=(),
+                     mask_feat_list=(), to_list=False):
+    """Grouped sparse lookups (reference inputs.py:101-117).
+
+    ``mask_feat_list`` is accepted for parity; hashed ids are computed on
+    the host (features.canonicalize_batch) where mask_zero semantics are
+    applied, so it is not needed here."""
+    del mask_feat_list
+    return sparse_embedding_dict.lookup(
+        sparse_input_dict, sparse_feature_columns,
+        return_feat_list=return_feat_list, to_list=to_list)
+
+
+def varlen_embedding_lookup(embedding_dict, sequence_input_dict,
+                            varlen_sparse_feature_columns):
+    """Raw (B, T, E) sequence embeddings keyed by feature name (reference
+    inputs.py:120-130)."""
+    return embedding_dict.varlen_lookup(
+        sequence_input_dict, varlen_sparse_feature_columns)
+
+
+def get_varlen_pooling_list(embedding_dict, features,
+                            varlen_sparse_feature_columns, to_list=False):
+    """Pooled varlen embeddings, grouped (reference inputs.py:133-158)."""
+    return embedding_dict.pool_varlen(
+        features, varlen_sparse_feature_columns, to_list=to_list)
+
+
+def get_embedding_vec_list(embedding_dict, input_dict, sparse_feature_columns,
+                           return_feat_list=(), mask_feat_list=()):
+    """Per-feature embedding list in column order (reference
+    inputs.py:74-89; used by MLR)."""
+    del mask_feat_list
+    out = []
+    for fc in sparse_feature_columns:
+        if len(return_feat_list) == 0 or fc.name in return_feat_list:
+            out.append(embedding_dict[fc.embedding_name](input_dict[fc.name]))
+    return out
+
+
+def input_from_feature_columns(features, feature_columns, l2_reg, seed=1024,
+                               prefix="", seq_mask_zero=True,
+                               support_dense=True, support_group=False):
+    """THE custom-model entry point (reference feature_column.py:213-233):
+    (sparse embedding list | group dict, dense value list)."""
+    tables = create_embedding_matrix(feature_columns, l2_reg, seed=seed,
+                                     prefix=prefix,
+                                     seq_mask_zero=seq_mask_zero)
+    return tables(features, support_dense=support_dense,
+                  support_group=support_group)
+
+
+def get_linear_logit(features, feature_columns, units=1, use_bias=False,
+                     seed=1024, prefix="linear", l2_reg=0):
+    """Wide/linear tower logit (B, units) (reference
+    feature_column.py:171-210)."""
+    del seed
+    return LinearLogit(
+        tuple(feature_columns), units=units, use_bias=use_bias,
+        l2_reg=l2_reg, prefix=prefix, name=prefix,
+    )(features)
+
+
+class Embedding(nn.Module):
+    """Keras-``Embedding``-shaped table for custom layers (the reference
+    re-exports ``tf.keras.layers.Embedding`` from deepctr.inputs). Masks are
+    explicit in this framework, so ``mask_zero`` only records intent —
+    compute the mask as ``ids != 0`` and pass it where needed."""
+
+    input_dim: int
+    output_dim: int
+    embeddings_initializer: object = ("normal", 0.0, 0.0001)
+    mask_zero: bool = False
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embeddings", resolve_initializer(self.embeddings_initializer),
+            (self.input_dim, self.output_dim))
+        return jnp.take(table, jnp.asarray(ids).astype(jnp.int32), axis=0,
+                        mode="clip")

@@ -1,7 +1,8 @@
 """TPU layer zoo (replaces reference deepctr/layers/__init__.py exports).
 
-No custom_objects registry is needed: persistence rebuilds models from
-factories (training/checkpoint.py), not from layer-name lookups.
+Persistence rebuilds models from factories (training/checkpoint.py), not
+from layer-name lookups; ``custom_objects`` below exists for reference
+export parity (user code that reads or extends the registry).
 """
 from .activation import Dice, activation_fn
 from .core import DNN, LocalActivationUnit, PredictionLayer, RegulationModule
@@ -54,8 +55,58 @@ from .utils import (
     softmax,
 )
 
+# Reference export parity: deepctr.layers.custom_objects maps layer names to
+# classes for keras model deserialization. Persistence here rebuilds models
+# from factories (training/checkpoint.py) and never needs it, but user code
+# that introspects or extends the registry (reference utils.py custom_objects
+# update idiom) keeps working. Includes the reference-name alias
+# activation_layer -> activation_fn.
+from .activation import activation_layer  # noqa: F401
+
+custom_objects = {
+    "tf": None,  # reference maps 'tf' to the tensorflow module; n/a here
+    "DNN": DNN,
+    "PredictionLayer": PredictionLayer,
+    "FM": FM,
+    "AFMLayer": AFMLayer,
+    "BiInteractionPooling": BiInteractionPooling,
+    "CIN": CIN,
+    "InteractingLayer": InteractingLayer,
+    "LocalActivationUnit": LocalActivationUnit,
+    "Dice": Dice,
+    "SequencePoolingLayer": SequencePoolingLayer,
+    "AttentionSequencePoolingLayer": AttentionSequencePoolingLayer,
+    "CrossNet": CrossNet,
+    "CrossNetMix": CrossNetMix,
+    "BiasEncoding": BiasEncoding,
+    "WeightedSequenceLayer": WeightedSequenceLayer,
+    "Transformer": Transformer,
+    "NoMask": NoMask,
+    "BiLSTM": BiLSTM,
+    "KMaxPooling": KMaxPooling,
+    "FGCNNLayer": FGCNNLayer,
+    "Hash": Hash,
+    "Linear": Linear,
+    "DynamicGRU": DynamicGRU,
+    "SENETLayer": SENETLayer,
+    "BilinearInteraction": BilinearInteraction,
+    "Add": add_func,
+    "FieldWiseBiInteraction": FieldWiseBiInteraction,
+    "FwFMLayer": FwFMLayer,
+    "softmax": softmax,
+    "FEFMLayer": FEFMLayer,
+    "reduce_sum": reduce_sum,
+    "PositionEncoding": PositionEncoding,
+    "RegulationModule": RegulationModule,
+    "BridgeModule": BridgeModule,
+    "InnerProductLayer": InnerProductLayer,
+    "OutterProductLayer": OutterProductLayer,
+    "LayerNormalization": LayerNormalization,
+    "Concat": Concat,
+}
+
 __all__ = [
-    "Dice", "activation_fn",
+    "Dice", "activation_fn", "activation_layer", "custom_objects",
     "DNN", "LocalActivationUnit", "PredictionLayer", "RegulationModule",
     "FM", "AFMLayer", "BiInteractionPooling", "BilinearInteraction",
     "BridgeModule", "CIN", "CrossNet", "CrossNetMix", "FEFMLayer",

@@ -79,3 +79,9 @@ def activation_fn(activation: Any):
     raise ValueError(
         "Invalid activation,found %s.You should use a str or a Module class." % activation
     )
+
+
+# Reference-name alias (reference activation.py:75-85 exports
+# ``activation_layer``): returns a callable ``fn(x, training=False)`` rather
+# than a Keras Layer — every call site in this framework treats it as one.
+activation_layer = activation_fn

@@ -10,7 +10,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .activation import activation_fn
+from .activation import activation_fn, activation_layer  # noqa: F401  (reference export parity)
 from .base import cast_cd, compute_dtype, glorot_normal, l2_reg, ones_init, zeros_init
 
 

@@ -27,6 +27,12 @@ from .base import (
     zeros_init,
 )
 
+# Reference export parity: the reference interaction.py holds these in its
+# namespace and user code imports them from deepctr.layers.interaction.
+from .activation import activation_layer  # noqa: F401
+from .core import DNN  # noqa: F401
+from .utils import concat_func, reduce_mean, reduce_sum, softmax  # noqa: F401
+
 
 def _pair_indices(n):
     """Static (row, col) index arrays for all i<j field pairs."""

@@ -31,6 +31,10 @@ from .base import (
 from .core import LocalActivationUnit
 from .normalization import LayerNormalization
 
+# Reference export parity (reference sequence.py namespace):
+from .utils import div, reduce_max, reduce_mean, reduce_sum, softmax  # noqa: F401
+
+
 
 def _resolve_mask(seq, mask=None, lengths=None, dtype=jnp.float32):
     """(B, T) float mask from an explicit mask, lengths, or all-ones."""
