@@ -106,7 +106,9 @@ def check_model(model, model_name, x, y, check_model_io=True):
 
     pred_before = model.predict(x, batch_size=100)
 
-    weight_path = model_name + "_weights.bin"
+    # PID-unique paths: concurrent pytest processes sharing this cwd must
+    # not save/remove each other's checkpoint files
+    weight_path = "%s_%d_weights.bin" % (model_name, os.getpid())
     model.save_weights(weight_path)
     model.load_weights(weight_path)
     os.remove(weight_path)
@@ -115,7 +117,7 @@ def check_model(model, model_name, x, y, check_model_io=True):
     print(model_name + " test save load weight pass!")
 
     if check_model_io:
-        model_path = model_name + ".dctpu"
+        model_path = "%s_%d.dctpu" % (model_name, os.getpid())
         from deepctr_tpu.training.checkpoint import save_model
 
         save_model(model, model_path)
