@@ -171,3 +171,29 @@ def test_incompatible_shared_table_raises():
     feats = {"a": jnp.array([1]), "b": jnp.array([1])}
     with pytest.raises(ValueError, match="same embedding_name"):
         M().init(jax.random.PRNGKey(0), feats)
+
+
+def test_estimator_feature_column_glue():
+    """estimator.feature_column compat module (reference
+    estimator/feature_column.py): is_embedding over shim columns and
+    linear_model inside a flax context."""
+    from deepctr_tpu.estimator import feature_column as efc
+    from deepctr_tpu.feature_column import (
+        categorical_column_with_identity, embedding_column, numeric_column)
+
+    cat = categorical_column_with_identity("c1", num_buckets=20)
+    emb = embedding_column(cat, 4)
+    num = numeric_column("d1")
+    assert efc.is_embedding(emb)
+    assert not efc.is_embedding(cat) and not efc.is_embedding(num)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, features):
+            return efc.linear_model(features, [cat, num])
+
+    feats = {"c1": jnp.array([1, 2, 3]), "d1": jnp.ones((3, 1))}
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), feats)
+    out = m.apply(params, feats)
+    assert out.shape == (3, 1)

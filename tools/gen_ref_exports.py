@@ -45,6 +45,8 @@ AST_MODULES = {
         "/root/reference/deepctr/estimator/models/__init__.py",
     "deepctr.estimator.inputs":
         "/root/reference/deepctr/estimator/inputs.py",
+    "deepctr.estimator.feature_column":
+        "/root/reference/deepctr/estimator/feature_column.py",
 }
 
 
