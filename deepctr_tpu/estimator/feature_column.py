@@ -25,10 +25,24 @@ from ..feature_column import (  # noqa: F401
     EmbeddingColumn,
     to_feature_columns,
 )
-from ..inputs import (  # noqa: F401
-    get_linear_logit,
-    input_from_feature_columns,
-)
+from ..inputs import get_linear_logit as _get_linear_logit
+from ..inputs import input_from_feature_columns as _input_from_feature_columns
+
+
+def get_linear_logit(features, linear_feature_columns, l2_reg_linear=0):
+    """Estimator-tier contract (reference estimator/feature_column.py:15-27):
+    ``l2_reg_linear`` keyword, tf.feature_column-style columns accepted."""
+    return _get_linear_logit(
+        features, to_feature_columns(linear_feature_columns),
+        l2_reg=l2_reg_linear)
+
+
+def input_from_feature_columns(features, feature_columns, l2_reg_embedding=0.0):
+    """Estimator-tier contract (reference estimator/feature_column.py:30-44):
+    ``l2_reg_embedding`` keyword, tf.feature_column-style columns accepted,
+    returns (sparse_emb_list, dense_value_list)."""
+    return _input_from_feature_columns(
+        features, to_feature_columns(feature_columns), l2_reg_embedding)
 
 
 def is_embedding(feature_column):

@@ -671,9 +671,39 @@ def varlen_embedding_lookup(embedding_dict, sequence_input_dict,
 
 def get_varlen_pooling_list(embedding_dict, features,
                             varlen_sparse_feature_columns, to_list=False):
-    """Pooled varlen embeddings, grouped (reference inputs.py:133-158)."""
-    return embedding_dict.pool_varlen(
-        features, varlen_sparse_feature_columns, to_list=to_list)
+    """Pooled varlen embeddings, grouped (reference inputs.py:133-158).
+
+    Duck-typed first argument, so BOTH reference idioms port verbatim:
+
+    - an :class:`EmbeddingTables` container (tables-first convention) —
+      the fast funnel path (fused gather+pool, shared gather cache);
+    - the ``{name: (B, T, E)}`` mapping returned by
+      :func:`varlen_embedding_lookup` (the reference convention, where the
+      first arg is a dict of already-looked-up sequence tensors).
+    """
+    if hasattr(embedding_dict, "pool_varlen"):
+        return embedding_dict.pool_varlen(
+            features, varlen_sparse_feature_columns, to_list=to_list)
+    from .layers.base import sequence_mask
+
+    group = defaultdict(list)
+    for fc in varlen_sparse_feature_columns:
+        seq = embedding_dict[fc.name]
+        if fc.length_name is not None:
+            mask = sequence_mask(features[fc.length_name], fc.maxlen,
+                                 jnp.bool_)
+        else:
+            # Keras mask_zero parity: id 0 is padding
+            mask = features[fc.name].astype(jnp.int32) != 0
+        if fc.weight_name is not None:
+            seq = weighted_sequence(
+                seq, features[fc.weight_name], mask=mask,
+                weight_normalization=fc.weight_norm)
+        vec = sequence_pooling(seq, fc.combiner, mask=mask)
+        group[fc.group_name].append(vec)
+    if to_list:
+        return list(chain.from_iterable(group.values()))
+    return group
 
 
 def get_embedding_vec_list(embedding_dict, input_dict, sparse_feature_columns,
@@ -701,14 +731,16 @@ def input_from_feature_columns(features, feature_columns, l2_reg, seed=1024,
 
 
 def get_linear_logit(features, feature_columns, units=1, use_bias=False,
-                     seed=1024, prefix="linear", l2_reg=0):
+                     seed=1024, prefix="linear", l2_reg=0,
+                     sparse_feat_refine_weight=None):
     """Wide/linear tower logit (B, units) (reference
-    feature_column.py:171-210)."""
+    feature_column.py:171-210; ``sparse_feat_refine_weight`` is the
+    IFM/DIFM input-aware (B, F) refinement)."""
     del seed
     return LinearLogit(
         tuple(feature_columns), units=units, use_bias=use_bias,
         l2_reg=l2_reg, prefix=prefix, name=prefix,
-    )(features)
+    )(features, sparse_feat_refine_weight=sparse_feat_refine_weight)
 
 
 class Embedding(nn.Module):

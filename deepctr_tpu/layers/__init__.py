@@ -63,8 +63,21 @@ from .utils import (
 # activation_layer -> activation_fn.
 from .activation import activation_layer  # noqa: F401
 
-custom_objects = {
-    "tf": None,  # reference maps 'tf' to the tensorflow module; n/a here
+class _CustomObjects(dict):
+    """Reference maps custom_objects['tf'] to the tensorflow module; import
+    it lazily on first access so `import deepctr_tpu.layers` never pays the
+    multi-second TF import."""
+
+    def __missing__(self, key):
+        if key == "tf":
+            import tensorflow as tf  # deferred; TF ships in this image
+
+            self["tf"] = tf
+            return tf
+        raise KeyError(key)
+
+
+custom_objects = _CustomObjects({
     "DNN": DNN,
     "PredictionLayer": PredictionLayer,
     "FM": FM,
@@ -103,7 +116,7 @@ custom_objects = {
     "OutterProductLayer": OutterProductLayer,
     "LayerNormalization": LayerNormalization,
     "Concat": Concat,
-}
+})
 
 __all__ = [
     "Dice", "activation_fn", "activation_layer", "custom_objects",

@@ -173,6 +173,99 @@ def test_incompatible_shared_table_raises():
         M().init(jax.random.PRNGKey(0), feats)
 
 
+def test_varlen_pooling_from_lookup_dict():
+    """Reference convention ported verbatim: get_varlen_pooling_list over
+    the dict returned by varlen_embedding_lookup (reference inputs.py:133
+    indexes embedding_dict[feature_name] tensors) — must match the
+    tables-first fast path bit-for-bit."""
+    x, y, cols = get_test_data(sample_size=60, sparse_feature_num=1,
+                               dense_feature_num=0, sequence_feature=("mean",))
+    varlen_cols = tuple(fc for fc in cols if isinstance(fc, VarLenSparseFeat))
+    assert varlen_cols
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, features):
+            tables = create_embedding_matrix(cols, l2_reg=0.0)
+            seq = varlen_embedding_lookup(tables, features, varlen_cols)
+            via_dict = get_varlen_pooling_list(seq, features, varlen_cols,
+                                               to_list=True)
+            via_tables = get_varlen_pooling_list(tables, features,
+                                                 varlen_cols, to_list=True)
+            return via_dict[0], via_tables[0]
+
+    from deepctr_tpu.features import canonicalize_batch
+    feats = {k: jnp.asarray(v) for k, v in
+             canonicalize_batch(x, list(cols)).items()}
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), feats)
+    a, b = m.apply(params, feats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_get_linear_logit_refine_weight():
+    """sparse_feat_refine_weight passthrough (reference
+    feature_column.py:171; IFM/DIFM custom-model idiom)."""
+    cols = (SparseFeat("a", 20, embedding_dim=4),
+            SparseFeat("b", 20, embedding_dim=4))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, features, w):
+            return get_linear_logit(features, cols,
+                                    sparse_feat_refine_weight=w)
+
+    feats = {"a": jnp.array([[1], [2]]), "b": jnp.array([[3], [4]])}
+    w = jnp.array([[2.0, 2.0], [0.5, 0.5]])
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), feats, w)
+    out_w = m.apply(params, feats, w)
+    out_1 = m.apply(params, feats, jnp.ones_like(w))
+    assert out_w.shape == (2, 1)
+    # refine weight 2.0 doubles the sparse contribution of row 0
+    np.testing.assert_allclose(np.asarray(out_w[0]), 2 * np.asarray(out_1[0]),
+                               rtol=1e-6)
+
+
+def test_estimator_tier_functional_contracts():
+    """Reference estimator-tier signatures over shim columns
+    (estimator/feature_column.py:15-44): l2_reg_linear / l2_reg_embedding
+    keywords, tf.feature_column-style inputs accepted directly."""
+    from deepctr_tpu.estimator import feature_column as efc
+    from deepctr_tpu.feature_column import (
+        categorical_column_with_identity, embedding_column, numeric_column)
+
+    cat = categorical_column_with_identity("c1", num_buckets=20)
+    emb = embedding_column(cat, 4)
+    num = numeric_column("d1")
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, features):
+            lin = efc.get_linear_logit(features, [cat, num],
+                                       l2_reg_linear=1e-5)
+            sparse_list, dense_list = efc.input_from_feature_columns(
+                features, [emb, num], l2_reg_embedding=1e-5)
+            return lin, sparse_list, dense_list
+
+    feats = {"c1": jnp.array([1, 2, 3]), "d1": jnp.ones((3, 1))}
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), feats)
+    lin, sparse_list, dense_list = m.apply(params, feats)
+    assert lin.shape == (3, 1)
+    assert len(sparse_list) == 1 and sparse_list[0].shape == (3, 1, 4)
+    assert len(dense_list) == 1
+
+
+def test_custom_objects_tf_entry():
+    """custom_objects['tf'] lazily resolves to the tensorflow module
+    (reference utils.py custom_objects maps it eagerly)."""
+    from deepctr_tpu.layers import custom_objects
+
+    tf = custom_objects["tf"]
+    assert tf is not None and hasattr(tf, "constant")
+
+
 def test_estimator_feature_column_glue():
     """estimator.feature_column compat module (reference
     estimator/feature_column.py): is_embedding over shim columns and
