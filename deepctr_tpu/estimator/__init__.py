@@ -6,7 +6,7 @@ factories, ``train/evaluate/predict(input_fn)``, model_dir checkpointing,
 FTRL-linear/Adagrad-deep dual optimizer — drives the jit/pjit CTRModel
 engine instead of a TF session.
 """
-from .core import Estimator
+from .core import Estimator, RunConfig
 from .inputs import FixedLenFeature, input_fn_pandas, input_fn_tfrecord
 from .models import (
     AFMEstimator,
@@ -25,7 +25,7 @@ from .models import (
 )
 
 __all__ = [
-    "Estimator", "FixedLenFeature", "input_fn_pandas", "input_fn_tfrecord",
+    "Estimator", "RunConfig", "FixedLenFeature", "input_fn_pandas", "input_fn_tfrecord",
     "AFMEstimator", "AutoIntEstimator", "CCPMEstimator", "DCNEstimator",
     "DeepFEFMEstimator", "DeepFMEstimator", "FiBiNETEstimator", "FNNEstimator",
     "FwFMEstimator", "NFMEstimator", "PNNEstimator", "WDLEstimator",

@@ -35,6 +35,22 @@ def _named_opt(name, learning_rate):
     return table[key](learning_rate)
 
 
+class RunConfig:
+    """Native stand-in for ``tf.estimator.RunConfig`` carrying the fields
+    reference estimator users actually set (reference
+    estimator/models/deepfm.py:39-41 passes one straight through). Any
+    object or dict with these attribute names works too — including a real
+    tf.estimator.RunConfig."""
+
+    def __init__(self, model_dir=None, tf_random_seed=None,
+                 save_checkpoints_steps=None, log_step_count_steps=100,
+                 **unused):
+        self.model_dir = model_dir
+        self.tf_random_seed = tf_random_seed
+        self.save_checkpoints_steps = save_checkpoints_steps
+        self.log_step_count_steps = log_step_count_steps
+
+
 class Estimator:
     """Drives a CTRModel through input_fn-based train/evaluate/predict."""
 
@@ -44,17 +60,41 @@ class Estimator:
         self.model = model
         self.model_dir = model_dir
         self.task = task
+        self._save_checkpoints_steps = None
+        self._log_step_count_steps = None
         if config is not None:
-            # RunConfig carried TF-runtime distribution/checkpoint policy;
-            # here model_dir + CTRModel.compile(mesh=...) cover those roles.
-            # Loud, not silent (VERDICT r2 Weak #6).
-            import warnings
+            # Map the RunConfig fields with native equivalents
+            # (tf.estimator.RunConfig semantics): model_dir,
+            # save_checkpoints_steps -> in-loop checkpoint cadence,
+            # log_step_count_steps -> in-loop loss/rate logging,
+            # tf_random_seed -> model init/shuffle seed. Anything else
+            # (session/cluster knobs) has no runtime here -> warn.
+            def _cfg(name):
+                if isinstance(config, dict):
+                    return config.get(name)
+                return getattr(config, name, None)
 
-            warnings.warn(
-                "Estimator(config=...) is accepted for signature parity "
-                "but has no effect: pass model_dir for checkpointing and "
-                "compile the model with a mesh for distribution",
-                stacklevel=2)
+            if self.model_dir is None:
+                self.model_dir = _cfg("model_dir")
+            self._save_checkpoints_steps = _cfg("save_checkpoints_steps")
+            self._log_step_count_steps = _cfg("log_step_count_steps")
+            seed = _cfg("tf_random_seed")
+            if seed is not None and self.model.state is None:
+                import jax
+
+                self.model.seed = int(seed)
+                self.model._rng = jax.random.PRNGKey(int(seed))
+            if not any(_cfg(k) is not None for k in (
+                    "model_dir", "save_checkpoints_steps",
+                    "log_step_count_steps", "tf_random_seed")):
+                import warnings
+
+                warnings.warn(
+                    "Estimator(config=...): none of the mapped RunConfig "
+                    "fields (model_dir, save_checkpoints_steps, "
+                    "log_step_count_steps, tf_random_seed) is set; other "
+                    "fields carry TF-session policy with no equivalent "
+                    "here", stacklevel=2)
         self.config = config
         # SessionRunHook-surface adapters: begin() at train start,
         # after_run(None, None) after each step, end(None) at train end
@@ -126,15 +166,18 @@ class Estimator:
 
         hook_call("begin")
 
+        last_loss = [None]  # for log_step_count_steps logging
+
         def run_single(xc, yc, w):
             if self.model._train_step is None:
                 self.model._train_step = self.model._build_train_step()
             self.model._rng, rng = jax.random.split(self.model._rng)
-            self.model.state, _, _ = self.model._train_step(
+            self.model.state, loss, _ = self.model._train_step(
                 self.model.state,
                 {k: jnp.asarray(v) for k, v in xc.items()},
                 jnp.asarray(yc), jnp.asarray(w), rng,
             )
+            last_loss[0] = loss
 
         def flush(buf):
             if len(buf) == K and K > 1:
@@ -149,8 +192,9 @@ class Estimator:
                 yK = jnp.asarray(np.stack([b[1] for b in buf]))
                 wK = jnp.asarray(np.stack([b[2] for b in buf]))
                 self.model._rng, rng = jax.random.split(self.model._rng)
-                self.model.state, _, _ = self._multi_train_step(
+                self.model.state, losses, _ = self._multi_train_step(
                     self.model.state, xK, yK, wK, rng)
+                last_loss[0] = losses[-1]
             else:
                 for xc, yc, w in buf:
                     run_single(xc, yc, w)
@@ -190,6 +234,25 @@ class Estimator:
             step_count += 1
             self._global_step += 1
             hook_call("after_run", None, None)
+            if (self._save_checkpoints_steps
+                    and self._global_step % self._save_checkpoints_steps == 0):
+                flush(buf)  # checkpoint reflects every step counted so far
+                self._maybe_save()
+            if (self._log_step_count_steps
+                    and self._global_step % self._log_step_count_steps == 0):
+                flush(buf)
+                import time as _time
+
+                now = _time.time()
+                t_last = getattr(self, "_log_t", None)
+                rate = ("%.1f steps/sec, " % (self._log_step_count_steps
+                                              / (now - t_last))
+                        if t_last else "")
+                self._log_t = now
+                loss_s = ("%.5f" % float(last_loss[0])
+                          if last_loss[0] is not None else "n/a")
+                print("INFO: global_step = %d, loss = %s (%s)"
+                      % (self._global_step, loss_s, rate.rstrip(", ")))
             if steps is not None and step_count >= steps:
                 break
             if max_steps is not None and self._global_step >= max_steps:

@@ -13,6 +13,9 @@ class Callback:
     def on_train_begin(self, model):
         pass
 
+    def on_epoch_begin(self, model, epoch: int):
+        pass
+
     def on_epoch_end(self, model, epoch: int, logs: dict) -> Optional[bool]:
         return None
 
@@ -103,3 +106,183 @@ class ModelCheckpoint(Callback):
             print("Epoch %d: saving model to %s" % (epoch + 1, path))
         model.save_weights(path)
         return None
+
+
+class LearningRateScheduler(Callback):
+    """Set the LR from ``schedule`` at each epoch start (Keras parity;
+    reference users inherit this from tf.keras, FAQ.md:26-37).
+
+    ``schedule(epoch)`` or ``schedule(epoch, current_lr)`` returns the new
+    learning rate. Mutation is retrace-free (optimizers.MutableLR): the LR
+    scale is a traced scalar in opt_state, so per-epoch changes never
+    recompile the train step."""
+
+    def __init__(self, schedule, verbose=0):
+        self.schedule = schedule
+        self.verbose = verbose
+
+    def on_epoch_begin(self, model, epoch):
+        try:
+            new_lr = self.schedule(epoch, model.learning_rate)
+        except TypeError:
+            new_lr = self.schedule(epoch)
+        model.learning_rate = float(new_lr)
+        if self.verbose:
+            print("Epoch %d: LearningRateScheduler setting learning rate "
+                  "to %s." % (epoch + 1, float(new_lr)))
+
+    def on_epoch_end(self, model, epoch, logs):
+        logs["lr"] = model.learning_rate
+        return None
+
+
+class ReduceLROnPlateau(Callback):
+    """Multiply the LR by ``factor`` when ``monitor`` stops improving for
+    ``patience`` epochs (Keras parity). Purely multiplicative, so it works
+    whether ``model.learning_rate`` speaks absolute values or multipliers."""
+
+    def __init__(self, monitor="val_loss", factor=0.1, patience=10,
+                 verbose=0, mode="min", min_delta=1e-4, cooldown=0,
+                 min_lr=0.0):
+        if factor >= 1.0:
+            raise ValueError("ReduceLROnPlateau requires factor < 1.0")
+        self.monitor = monitor
+        self.factor = factor
+        self.patience = patience
+        self.verbose = verbose
+        self.mode = mode
+        self.min_delta = abs(min_delta)
+        self.cooldown = cooldown
+        self.min_lr = min_lr
+        self._best = None
+        self._wait = 0
+        self._cooldown_counter = 0
+
+    def on_train_begin(self, model):
+        self._best, self._wait, self._cooldown_counter = None, 0, 0
+
+    def _improved(self, current):
+        if self._best is None:
+            return True
+        if self.mode == "max":
+            return current > self._best + self.min_delta
+        return current < self._best - self.min_delta
+
+    def on_epoch_end(self, model, epoch, logs):
+        logs["lr"] = model.learning_rate
+        current = logs.get(self.monitor)
+        if current is None:
+            return None
+        if self._cooldown_counter > 0:
+            self._cooldown_counter -= 1
+            self._wait = 0
+        if self._improved(current):
+            self._best = current
+            self._wait = 0
+            return None
+        if self._cooldown_counter > 0:
+            return None
+        self._wait += 1
+        if self._wait >= self.patience:
+            old_lr = model.learning_rate
+            if old_lr > self.min_lr:
+                new_lr = max(old_lr * self.factor, self.min_lr)
+                model.learning_rate = new_lr
+                logs["lr"] = new_lr
+                if self.verbose:
+                    print("Epoch %d: ReduceLROnPlateau reducing learning "
+                          "rate to %s." % (epoch + 1, new_lr))
+            self._cooldown_counter = self.cooldown
+            self._wait = 0
+        return None
+
+
+class CSVLogger(Callback):
+    """Stream epoch logs to a CSV file (Keras parity)."""
+
+    def __init__(self, filename, separator=",", append=False):
+        self.filename = str(filename)
+        self.sep = separator
+        self.append = append
+        self._file = None
+        self._writer = None
+        self._keys = None
+
+    def on_train_begin(self, model):
+        import io
+
+        mode = "a" if self.append else "w"
+        self._file = io.open(self.filename, mode, newline="")
+        self._writer = None
+        self._keys = None
+
+    def on_epoch_end(self, model, epoch, logs):
+        import csv
+
+        if self._writer is None:
+            self._keys = sorted(logs)
+            self._writer = csv.DictWriter(
+                self._file, fieldnames=["epoch"] + self._keys,
+                delimiter=self.sep)
+            if not (self.append and self._file.tell() > 0):
+                self._writer.writeheader()
+        row = {"epoch": epoch}
+        row.update({k: logs.get(k, "") for k in self._keys})
+        self._writer.writerow(row)
+        self._file.flush()
+        return None
+
+    def on_train_end(self, model):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class TensorBoard(Callback):
+    """Per-epoch scalar logging readable by TensorBoard (Keras parity for
+    the scalars tab). Writes through tf.summary when TensorFlow is
+    importable; otherwise falls back to a ``scalars.jsonl`` file in
+    ``log_dir`` (same payload, greppable)."""
+
+    def __init__(self, log_dir="./logs"):
+        self.log_dir = str(log_dir)
+        self._writer = None
+        self._jsonl = None
+
+    def on_train_begin(self, model):
+        import os
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        try:
+            import tensorflow as tf
+
+            self._writer = tf.summary.create_file_writer(self.log_dir)
+        except Exception:
+            import io
+
+            self._jsonl = io.open(
+                os.path.join(self.log_dir, "scalars.jsonl"), "a")
+
+    def on_epoch_end(self, model, epoch, logs):
+        if self._writer is not None:
+            import tensorflow as tf
+
+            with self._writer.as_default():
+                for k, v in logs.items():
+                    tf.summary.scalar("epoch_" + k, float(v), step=epoch)
+            self._writer.flush()
+        elif self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps({"epoch": epoch, **{
+                k: float(v) for k, v in logs.items()}}) + "\n")
+            self._jsonl.flush()
+        return None
+
+    def on_train_end(self, model):
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None

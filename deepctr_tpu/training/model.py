@@ -150,7 +150,12 @@ class CTRModel:
         batch — are stored bf16. Logits, losses, softmax/LayerNorm math and
         the optimizer always stay f32. Composes with ``embedding_dtype``
         (bf16 tables then feed bf16 activations with no upcast)."""
-        self.optimizer = opt_lib.resolve_optimizer(optimizer)
+        _resolved = opt_lib.resolve_optimizer(optimizer)
+        # runtime-mutable LR (Keras optimizer.learning_rate parity): the
+        # scale travels in opt_state so LR callbacks never force a retrace
+        self.optimizer = opt_lib.MutableLR(
+            _resolved, opt_lib.base_learning_rate_of(optimizer, _resolved))
+        self._pending_lr_scale = 1.0
         if loss is None:
             loss = "binary_crossentropy" if self.task == "binary" else "mse"
         if isinstance(loss, (list, tuple)):
@@ -380,6 +385,11 @@ class CTRModel:
                                for p, a in embed_state.items()}
         else:
             opt_state = self.optimizer.init(params)
+        if getattr(self, "_pending_lr_scale", 1.0) != 1.0:
+            # learning_rate was set before the model built
+            opt_state = opt_lib.MutableLR.set_scale(
+                opt_state, self._pending_lr_scale)
+            self._pending_lr_scale = 1.0
         self.state = TrainState(
             params=params, opt_state=opt_state, model_state=model_state,
             step=jnp.zeros((), jnp.int32), embed_state=embed_state,
@@ -390,6 +400,45 @@ class CTRModel:
             from ..parallel.distributed import replicate_state_globally
 
             self.state = replicate_state_globally(self.state, self.mesh)
+
+    @property
+    def lr_scale(self) -> float:
+        """Multiplier on the compiled optimizer's configured learning rate
+        (1.0 = as-compiled). Mutable between steps with no retrace — the
+        scale is a traced scalar inside opt_state (optimizers.MutableLR)."""
+        if self.state is None or not isinstance(self.optimizer,
+                                                opt_lib.MutableLR):
+            return float(getattr(self, "_pending_lr_scale", 1.0))
+        return float(jax.device_get(
+            opt_lib.MutableLR.get_scale(self.state.opt_state)))
+
+    @lr_scale.setter
+    def lr_scale(self, value: float):
+        if self.optimizer is None:
+            raise ValueError("compile the model before setting the "
+                             "learning rate")
+        value = float(value)
+        if self.state is None:
+            self._pending_lr_scale = value
+            return
+        self.state = self.state.replace(
+            opt_state=opt_lib.MutableLR.set_scale(self.state.opt_state,
+                                                  value))
+
+    @property
+    def learning_rate(self) -> float:
+        """Current learning rate (Keras ``model.optimizer.learning_rate``
+        parity; consumed by LearningRateScheduler / ReduceLROnPlateau).
+        Absolute when the compiled optimizer's base rate is known (named
+        optimizers, default embedding split); otherwise the value IS the
+        multiplier on the configured rate."""
+        base = getattr(self.optimizer, "base_learning_rate", None)
+        return (base if base is not None else 1.0) * self.lr_scale
+
+    @learning_rate.setter
+    def learning_rate(self, value: float):
+        base = getattr(self.optimizer, "base_learning_rate", None)
+        self.lr_scale = float(value) / (base if base is not None else 1.0)
 
     def _is_multiprocess(self) -> bool:
         """True when the mesh spans multiple jax processes (multi-host
@@ -544,13 +593,18 @@ class CTRModel:
                 loss_fn, argnums=(0, 1), has_aux=True
             )(dense_params, rows)
 
-            from .optimizers import apply_optimizer
+            from .optimizers import MutableLR, apply_optimizer
 
             new_dense, new_opt_state = apply_optimizer(
                 optimizer, g_dense, state.opt_state, dense_params)
+            lr = embedding_lr
+            if isinstance(optimizer, MutableLR):
+                # engine tables follow the same runtime LR scale as the
+                # dense tower (LR callbacks scale both proportionally)
+                lr = embedding_lr * MutableLR.get_scale(state.opt_state)
             new_tables, new_embed = se.apply_sparse_updates(
                 tables, state.embed_state, g_rows, xb, plan,
-                learning_rate=embedding_lr, use_pallas=use_pallas,
+                learning_rate=lr, use_pallas=use_pallas,
                 sr_key=jax.random.fold_in(rng, 1) if use_sr else None,
             )
             new_params = se.merge_tables(new_dense, new_tables)
@@ -741,6 +795,8 @@ class CTRModel:
         global_step = 0
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
             # keep per-step losses on device: float(loss) would force a
             # host sync every step and serialize the async dispatch pipeline
             step_losses, step_weights = [], []
@@ -832,7 +888,6 @@ class CTRModel:
                 src = val_stream if callable(val_stream) else iter(val_stream)
                 val_logs = self.evaluate(src, steps=validation_steps)
                 logs.update({"val_" + k: v for k, v in val_logs.items()})
-            self.history.append(epoch, logs)
             if verbose:
                 msg = " - ".join("{}: {:.4f}".format(k, v) for k, v in logs.items())
                 print("Epoch {}/{} - {:.1f}s - {}".format(epoch + 1, epochs, time.time() - t0, msg))
@@ -840,6 +895,9 @@ class CTRModel:
             for cb in callbacks:
                 if cb.on_epoch_end(self, epoch, logs):
                     stop = True
+            # after the callbacks, so their log mutations (e.g. "lr") are
+            # recorded — Keras runs its History callback last the same way
+            self.history.append(epoch, logs)
             if stop:
                 break
         if profiling:

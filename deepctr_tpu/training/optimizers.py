@@ -143,6 +143,7 @@ def embedding_split_optimizer(dense_opt=None, embedding_opt=None,
     Passing an explicit ``embedding_opt`` falls back to the generic (and
     slower) ``optax.multi_transform`` composition with no fused apply.
     """
+    dense_opt_was_default = dense_opt is None
     dense_opt = dense_opt or optax.adam(0.001, b1=0.9, b2=0.999, eps=1e-7)
     if embedding_opt is not None:
         def make_labels(params):
@@ -206,20 +207,93 @@ def embedding_split_optimizer(dense_opt=None, embedding_opt=None,
         return (unflatten_dict(ups),
                 EmbeddingSplitState(dense=d_state, emb_acc=accs))
 
-    def fused_apply(grads, state, params):
+    def fused_apply(grads, state, params, lr_scale=None):
         gemb, gdense = _split(grads)
         pemb, pdense = _split(params)
         d_ups, d_state = _dense_update(gdense, state.dense, pdense)
         new_flat, accs = {}, {}
         for p, w in pemb.items():
             u, accs[p] = _rowwise(gemb[p], state.emb_acc[p])
+            if lr_scale is not None:
+                u = u * lr_scale
             new_flat[p] = (w.astype(jnp.float32) + u).astype(w.dtype)
         for p, w in pdense.items():
-            new_flat[p] = (w + d_ups[p].astype(w.dtype)).astype(w.dtype)
+            u = d_ups[p]
+            if lr_scale is not None:
+                u = u * lr_scale.astype(u.dtype)
+            new_flat[p] = (w + u.astype(w.dtype)).astype(w.dtype)
         return (unflatten_dict(new_flat),
                 EmbeddingSplitState(dense=d_state, emb_acc=accs))
 
-    return FusedOptimizer(init_fn, update_fn, fused_apply)
+    opt = FusedOptimizer(init_fn, update_fn, fused_apply)
+    # callbacks' absolute-LR semantics key off the dense tower's configured
+    # rate (the embedding rowwise-adagrad rate scales proportionally)
+    opt.base_learning_rate = 0.001 if dense_opt_was_default else None
+    return opt
+
+
+class MutableLR:
+    """Runtime-mutable learning rate (Keras ``optimizer.learning_rate``
+    parity, consumed by LearningRateScheduler / ReduceLROnPlateau).
+
+    Wraps a resolved optimizer so the LR can change BETWEEN steps without
+    retracing: the opt state becomes ``(inner_state, lr_scale)`` where
+    ``lr_scale`` is a traced f32 scalar multiplying every update. Standard
+    update rules are linear in the learning rate (update = -lr * f(stats)),
+    so scaling updates IS scaling the LR while accumulator statistics stay
+    exactly what the un-scaled optimizer would hold. Retracing matters
+    here: a per-epoch recompile costs seconds-to-minutes on the remote TPU
+    backend, a traced scalar costs one fused multiply.
+
+    ``base_learning_rate`` records the wrapped optimizer's configured rate
+    when known (named optimizers / default embedding split), so
+    ``model.learning_rate`` can speak absolute values; when unknown, the
+    model-level property degrades to multiplier semantics.
+    """
+
+    def __init__(self, inner, base_learning_rate=None):
+        self.inner = inner
+        self.base_learning_rate = base_learning_rate
+        if getattr(inner, "fused_apply", None) is not None:
+            self.fused_apply = self._fused_apply
+
+    def init(self, params):
+        return (self.inner.init(params), jnp.float32(1.0))
+
+    @staticmethod
+    def get_scale(opt_state):
+        return opt_state[1]
+
+    @staticmethod
+    def set_scale(opt_state, scale):
+        return (opt_state[0], jnp.asarray(scale, jnp.float32))
+
+    def update(self, grads, state, params=None):
+        inner_state, scale = state
+        ups, new_inner = self.inner.update(grads, inner_state, params)
+        ups = jax.tree.map(lambda u: (u * scale.astype(u.dtype)), ups)
+        return ups, (new_inner, scale)
+
+    def _fused_apply(self, grads, state, params):
+        inner_state, scale = state
+        new_params, new_inner = self.inner.fused_apply(
+            grads, inner_state, params, lr_scale=scale)
+        return new_params, (new_inner, scale)
+
+
+_NAMED_BASE_LR = {
+    "sgd": 0.01, "adam": 0.001, "adamw": 0.001, "adagrad": 0.01,
+    "rmsprop": 0.001, "ftrl": 0.005, "rowwise_adagrad": 0.01,
+    "ctr_default": 0.001,
+}
+
+
+def base_learning_rate_of(opt_spec, resolved):
+    """Best-effort configured LR of an optimizer spec: known for names and
+    for transforms that carry ``base_learning_rate``; None otherwise."""
+    if isinstance(opt_spec, str):
+        return _NAMED_BASE_LR.get(opt_spec)
+    return getattr(resolved, "base_learning_rate", None)
 
 
 _NAMED = {
@@ -255,7 +329,7 @@ def apply_optimizer(optimizer, grads, opt_state, params):
     computed in the same fused expression as the optimizer math — no
     materialized updates tree); otherwise the standard optax
     update + apply_updates pair."""
-    if hasattr(optimizer, "fused_apply"):
+    if getattr(optimizer, "fused_apply", None) is not None:
         return optimizer.fused_apply(grads, opt_state, params)
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), new_opt_state

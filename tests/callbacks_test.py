@@ -52,3 +52,120 @@ def test_model_summary_counts_params():
     total = m.summary(print_fn=lines.append)
     assert total > 200 and any("Total params" in l for l in lines)
     assert any("emb_c" in l for l in lines)
+
+
+def test_learning_rate_property_and_scale():
+    """model.learning_rate speaks absolute values for named optimizers and
+    mutates opt_state's traced scale, never the compiled step."""
+    import numpy as np
+
+    model, x, y = _model_and_data()
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert np.isclose(model.learning_rate, 0.001)  # adam default
+    model.learning_rate = 0.0005
+    assert np.isclose(model.learning_rate, 0.0005)
+    assert np.isclose(model.lr_scale, 0.5)
+    # the train step still runs (no retrace error, same structure)
+    hist = model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert np.isfinite(hist.history["loss"][-1])
+
+
+def test_learning_rate_scheduler_applies_schedule():
+    import numpy as np
+
+    from deepctr_tpu.training.callbacks import LearningRateScheduler
+
+    model, x, y = _model_and_data()
+    seen = []
+
+    def schedule(epoch, lr):
+        seen.append((epoch, lr))
+        return 0.001 * (0.5 ** epoch)
+
+    hist = model.fit(x, y, batch_size=8, epochs=3, verbose=0,
+                     callbacks=[LearningRateScheduler(schedule)])
+    assert [e for e, _ in seen] == [0, 1, 2]
+    assert np.isclose(model.learning_rate, 0.001 * 0.25)
+    assert np.isclose(hist.history["lr"][-1], 0.001 * 0.25)
+
+
+def test_scheduler_actually_changes_updates():
+    """LR 0 must freeze the params mid-training — proves the traced scale
+    reaches the optimizer math, not just a Python attribute."""
+    import jax
+    import numpy as np
+
+    model, x, y = _model_and_data()
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    before = jax.device_get(model.state.params)
+    model.learning_rate = 0.0
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    after = jax.device_get(model.state.params)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(before),
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(after),
+                   key=lambda t: str(t[0]))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+
+def test_reduce_lr_on_plateau_reduces():
+    import numpy as np
+
+    from deepctr_tpu.training.callbacks import ReduceLROnPlateau
+
+    model, x, y = _model_and_data()
+    # loss can never improve by 10.0/epoch -> plateau fires every epoch
+    cb = ReduceLROnPlateau(monitor="loss", factor=0.5, patience=1,
+                           min_delta=10.0, min_lr=1e-5)
+    model.fit(x, y, batch_size=8, epochs=4, verbose=0, callbacks=[cb])
+    # epoch 0 sets best; epochs 1-3 each halve: 0.001 -> 0.000125
+    assert np.isclose(model.learning_rate, 0.001 * 0.5 ** 3)
+
+
+def test_csv_logger_writes_rows(tmp_path):
+    from deepctr_tpu.training.callbacks import CSVLogger
+
+    model, x, y = _model_and_data()
+    path = str(tmp_path / "log.csv")
+    model.fit(x, y, batch_size=8, epochs=2, verbose=0,
+              callbacks=[CSVLogger(path)])
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("epoch")
+    assert len(lines) == 3  # header + 2 epochs
+
+
+def test_tensorboard_scalars(tmp_path):
+    from deepctr_tpu.training.callbacks import TensorBoard
+
+    model, x, y = _model_and_data()
+    d = str(tmp_path / "tb")
+    model.fit(x, y, batch_size=8, epochs=2, verbose=0,
+              callbacks=[TensorBoard(d)])
+    assert os.listdir(d)  # event file or scalars.jsonl
+
+
+def test_embedding_split_lr_scaling():
+    """The fused embedding-split optimizer honors the LR scale on BOTH the
+    dense tower and the embedding tables (zero LR freezes everything)."""
+    import jax
+    import numpy as np
+
+    from deepctr_tpu.training.optimizers import embedding_split_optimizer
+
+    x, y, cols = get_test_data(SAMPLE_SIZE, sparse_feature_num=2,
+                               dense_feature_num=1)
+    from deepctr_tpu.models import WDL
+
+    model = WDL(cols, cols, dnn_hidden_units=(4,))
+    model.compile(embedding_split_optimizer(), "binary_crossentropy")
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert np.isclose(model.learning_rate, 0.001)
+    model.learning_rate = 0.0
+    before = jax.device_get(model.state.params)
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    after = jax.device_get(model.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

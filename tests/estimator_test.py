@@ -202,8 +202,9 @@ def test_training_chief_hooks_fire_and_config_warns():
 
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
+        # a config with none of the mapped RunConfig fields warns loudly
         DeepFMEstimator(cols, cols, dnn_hidden_units=(8,), config=object())
-    assert any("signature parity" in str(w.message) for w in rec)
+    assert any("RunConfig" in str(w.message) for w in rec)
 
 
 @_needs_reference
@@ -234,3 +235,39 @@ def test_input_fn_tfrecord_accepts_tf_io_descriptions():
     np.testing.assert_array_equal(ya, yb)
     for k in ("C1", "C26", "I1", "I13"):
         np.testing.assert_array_equal(xa[k], xb[k])
+
+
+def test_runconfig_field_mapping(tmp_path):
+    """RunConfig fields map to native behavior (reference
+    estimator/models/deepfm.py:39-42 passes tf.RunConfig through):
+    model_dir, save_checkpoints_steps cadence, tf_random_seed."""
+    import os
+
+    import numpy as np
+
+    from deepctr_tpu.estimator import DeepFMEstimator, RunConfig
+
+    rng = np.random.RandomState(3)
+    n = 64
+
+    def input_fn():
+        for i in range(0, n, 16):
+            yield ({"c1": rng.randint(0, 10, 16), "d1": rng.rand(16, 1).astype("float32")},
+                   rng.randint(0, 2, 16).astype("float32"))
+
+    from deepctr_tpu.feature_column import (
+        categorical_column_with_identity, embedding_column, numeric_column)
+
+    cat = categorical_column_with_identity("c1", num_buckets=10)
+    cols_lin = [cat, numeric_column("d1")]
+    cols_dnn = [embedding_column(cat, 4), numeric_column("d1")]
+
+    cfg = RunConfig(model_dir=str(tmp_path / "md"), tf_random_seed=7,
+                    save_checkpoints_steps=2, log_step_count_steps=2)
+    est = DeepFMEstimator(cols_lin, cols_dnn, task="binary", config=cfg)
+    assert est.model_dir == str(tmp_path / "md")
+    assert est.model.seed == 7
+    est.train(input_fn, steps=3)
+    # save_checkpoints_steps=2 fired at global step 2 (plus the final save)
+    assert os.path.exists(os.path.join(str(tmp_path / "md"), "checkpoint.bin"))
+    assert est._global_step == 3
