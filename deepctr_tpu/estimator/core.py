@@ -44,11 +44,14 @@ class RunConfig:
 
     def __init__(self, model_dir=None, tf_random_seed=None,
                  save_checkpoints_steps=None, log_step_count_steps=100,
-                 **unused):
+                 mesh=None, **unused):
         self.model_dir = model_dir
         self.tf_random_seed = tf_random_seed
         self.save_checkpoints_steps = save_checkpoints_steps
         self.log_step_count_steps = log_step_count_steps
+        # native equivalent of the reference RunConfig's train_distribute
+        # strategy: a jax.sharding.Mesh the model compiles against
+        self.mesh = mesh
 
 
 class Estimator:
@@ -105,7 +108,11 @@ class Estimator:
             dnn_opt=_named_opt(dnn_optimizer, 0.01),
         )
         loss = "binary_crossentropy" if task == "binary" else "mse"
-        self.model.compile(optimizer, loss)
+        mesh = None
+        if config is not None:
+            mesh = (config.get("mesh") if isinstance(config, dict)
+                    else getattr(config, "mesh", None))
+        self.model.compile(optimizer, loss, mesh=mesh)
         self._global_step = 0
         self._multi_train_step = None
         self._multi_k = 0

@@ -10,9 +10,10 @@ import sys
 def test_bench_main_smoke(monkeypatch, capsys):
     import bench
 
-    monkeypatch.setattr(bench, "BATCH", 64)
+    monkeypatch.setattr(bench, "CANDIDATES", (32, 64))
     monkeypatch.setattr(bench, "SCAN", 2)
     monkeypatch.setattr(bench, "CALLS", 1)
+    monkeypatch.setenv("BENCH_NO_RETRY", "1")
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(line)
@@ -20,6 +21,24 @@ def test_bench_main_smoke(monkeypatch, capsys):
     assert payload["value"] > 0
     assert payload["unit"] == "examples/s"
     assert "vs_baseline" in payload
+    assert payload["batch"] in (32, 64)
+    assert payload["window"] in ("healthy", "degraded")
+    assert set(payload["probe_examples_per_s"]) == {"32", "64"}
+
+
+def test_bench_pinned_batch(monkeypatch, capsys):
+    """BENCH_BATCH pins a single candidate (no probe sweep)."""
+    import bench
+
+    monkeypatch.setattr(bench, "SCAN", 2)
+    monkeypatch.setattr(bench, "CALLS", 1)
+    monkeypatch.setenv("BENCH_BATCH", "48")
+    monkeypatch.setenv("BENCH_NO_RETRY", "1")
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["batch"] == 48
+    assert list(payload["probe_examples_per_s"]) == ["48"]
 
 
 def test_bench_models_smoke(monkeypatch, capsys):
