@@ -227,13 +227,16 @@ def make_linear_columns(feature_columns):
     return out
 
 
-def canonicalize_batch(x, feature_columns, hash_fn=None):
+def canonicalize_batch(x, feature_columns, skip_hash=()):
     """Convert a user-supplied input dict (or list) of numpy arrays into the
     canonical dict-of-arrays batch the models consume.
 
     - casts dtypes, reshapes (B,) -> (B, 1) where the schema expects 2D
     - applies host-side hashing for ``use_hash`` features (TPU has no string
       ops; see hashing.py — parity with reference layers/utils.py:89-112)
+    - ``skip_hash``: feature names whose hashing happens IN-GRAPH instead
+      (serving artifacts exported with in-graph hashing, serving.py) —
+      they pass through as raw integer keys
     """
     from . import hashing as _hashing
 
@@ -256,7 +259,7 @@ def canonicalize_batch(x, feature_columns, hash_fn=None):
         if name not in x:
             raise ValueError("Missing input feature '{}'".format(name))
         arr = np.asarray(x[name])
-        if name in hash_cols:
+        if name in hash_cols and name not in skip_hash:
             fc = hash_cols[name]
             arr = _hashing.hash_array(
                 arr,

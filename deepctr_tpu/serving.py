@@ -42,8 +42,52 @@ def _weights_nbytes(model):
 _BAKE_LIMIT_BYTES = int(1.8 * 2 ** 30)
 
 
+def _hash_spec(model):
+    """Per-feature hashing spec for the model's ``use_hash`` columns.
+
+    ``in_graph``: integer-keyed hash-bucket features — the exported graph
+    hashes them itself (ops/hash.py, FarmHash64 as pure XLA int ops), so
+    the artifact accepts RAW keys like the reference's SavedModel
+    (reference layers/utils.py:41-121 hashes in-graph). String-dtype and
+    vocabulary-file features stay host-side; the spec carries everything
+    the host preprocessor needs (make_preprocessor), including the vocab
+    table contents so the serving host needs no CSV file."""
+    from .features import SparseFeat, VarLenSparseFeat
+
+    spec = {}
+    for fc in model.feature_columns:
+        if isinstance(fc, (SparseFeat, VarLenSparseFeat)) and fc.use_hash:
+            string_keys = str(fc.dtype).startswith("str")
+            entry = {
+                "num_buckets": int(fc.vocabulary_size),
+                "mask_zero": isinstance(fc, VarLenSparseFeat),
+                "algorithm": "farmhash",
+                "in_graph": fc.vocabulary_path is None and not string_keys,
+            }
+            if fc.vocabulary_path:
+                from .hashing import load_vocabulary
+
+                entry["vocabulary"] = dict(load_vocabulary(
+                    fc.vocabulary_path))
+            spec[fc.name] = entry
+    return spec
+
+
+def _device_hash_batch(batch, in_graph_cols):
+    """Apply in-graph hashing to the raw-key features of a traced batch."""
+    from .ops.hash import device_hash_bucket
+
+    batch = dict(batch)
+    for name, e in in_graph_cols.items():
+        batch[name] = device_hash_bucket(
+            batch[name], e["num_buckets"], mask_zero=e["mask_zero"],
+            algorithm=e["algorithm"])
+    return batch
+
+
 def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
-                     platforms=("cpu", "tpu"), bake_weights=None):
+                     platforms=("cpu", "tpu"), bake_weights=None,
+                     hash_in_graph=True):
     """Serialize ``model``'s inference function to a StableHLO artifact.
 
     example_batch: a feature dict (raw or canonical) used only for each
@@ -86,6 +130,12 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
 
     _remat_off = remat_scope(False)
     _remat_off.__enter__()
+    hash_cols = _hash_spec(model)
+    in_graph_cols = ({k: v for k, v in hash_cols.items() if v["in_graph"]}
+                     if hash_in_graph else {})
+    if not hash_in_graph:
+        hash_cols = {k: dict(v, in_graph=False)
+                     for k, v in hash_cols.items()}
     try:
         xc = canonicalize_batch(example_batch, model.feature_columns)
 
@@ -101,6 +151,13 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
 
         if bake_weights:
             serve = model.export_inference_fn()
+            if in_graph_cols:
+                inner = serve
+
+                @jax.jit
+                def serve(batch):
+                    return inner(_device_hash_batch(batch, in_graph_cols))
+
             exported = jax_export.export(
                 serve, platforms=list(platforms))(spec)
         else:
@@ -109,6 +166,8 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
 
             @jax.jit
             def serve_v(variables, batch):
+                if in_graph_cols:
+                    batch = _device_hash_batch(batch, in_graph_cols)
                 with cd_scope():
                     return module.apply(variables, batch, training=False)
 
@@ -132,7 +191,68 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    if hash_cols:
+        # hash-spec sidecar: which features the ARTIFACT hashes itself
+        # (raw integer keys go straight in) vs which the host preprocessor
+        # must hash (strings / vocabulary files; make_preprocessor)
+        import json
+
+        with open(path + ".hashspec.json", "w") as f:
+            json.dump({"features": hash_cols}, f, indent=1)
     return os.path.getsize(path)
+
+
+def make_preprocessor(spec_or_path):
+    """Host-side raw-key preprocessor paired with an exported artifact.
+
+    Input: the ``<artifact>.hashspec.json`` path (or its parsed dict).
+    Returns ``prep(raw_feature_dict) -> feature_dict`` where host-side
+    hash features (string keys, vocabulary files) are hashed exactly as
+    training did (hashing.hash_array) and in-graph features pass through
+    as raw integer keys for the artifact to hash itself. The returned
+    function exposes ``prep.skip_hash`` — pass it to
+    ``canonicalize_batch(..., skip_hash=...)`` so nothing double-hashes.
+    """
+    import json
+
+    from . import hashing
+
+    if isinstance(spec_or_path, str):
+        with open(spec_or_path) as f:
+            spec = json.load(f)["features"]
+    else:
+        spec = dict(spec_or_path.get("features", spec_or_path))
+
+    def prep(x):
+        out = dict(x)
+        for name, e in spec.items():
+            if name not in out:
+                continue  # canonicalize_batch reports missing features
+            arr = np.asarray(out[name])
+            if e.get("in_graph"):
+                if arr.dtype.kind in ("U", "S", "O"):
+                    try:
+                        arr = arr.astype(np.int64)
+                    except ValueError:
+                        raise ValueError(
+                            "feature '%s' was exported with in-graph "
+                            "hashing (integer keys) but received "
+                            "non-numeric strings" % name)
+                out[name] = arr.astype(np.int32)
+            elif "vocabulary" in e:
+                s = hashing._stringify(arr)
+                table = e["vocabulary"]
+                uniq, inv = np.unique(s, return_inverse=True)
+                ids = np.array([table.get(u, 0) for u in uniq], np.int64)
+                out[name] = ids[inv].reshape(arr.shape).astype(np.int32)
+            else:
+                out[name] = hashing.hash_array(
+                    arr, e["num_buckets"], mask_zero=e["mask_zero"],
+                    algorithm=e.get("algorithm", "farmhash"))
+        return out
+
+    prep.skip_hash = frozenset(spec)
+    return prep
 
 
 def load_stablehlo(path):
@@ -181,5 +301,13 @@ def predict_with_artifact(path, batch, feature_columns):
         for k in [k for k in _ARTIFACT_CACHE if k[0] == abspath]:
             del _ARTIFACT_CACHE[k]
         serve = _ARTIFACT_CACHE[key] = load_stablehlo(path)
-    xc = canonicalize_batch(batch, feature_columns)
+    spec_path = path + ".hashspec.json"
+    if os.path.exists(spec_path):
+        # raw-key artifact: host preprocessor handles string/vocab
+        # features, in-graph features stay raw ints, nothing double-hashes
+        prep = make_preprocessor(spec_path)
+        xc = canonicalize_batch(prep(batch), feature_columns,
+                                skip_hash=prep.skip_hash)
+    else:
+        xc = canonicalize_batch(batch, feature_columns)
     return np.asarray(serve(xc))

@@ -187,3 +187,103 @@ def test_auto_bake_threshold(monkeypatch, tmp_path):
     np.testing.assert_allclose(got.reshape(-1),
                                model.predict(x).reshape(-1),
                                rtol=1e-5, atol=1e-6)
+
+
+def _hash_fixture(n=32, seed=0, string_keys=False, varlen=False):
+    """use_hash model: raw keys hashed into buckets (reference Hash flow)."""
+    from deepctr_tpu import VarLenSparseFeat
+
+    rng = np.random.RandomState(seed)
+    cols = [SparseFeat("h0", 50, 4, use_hash=True,
+                       dtype="string" if string_keys else "int32"),
+            SparseFeat("s1", 20, 4), DenseFeat("d0", 1)]
+    keys = rng.randint(0, 10**9, n)
+    x = {"h0": (np.array([("u%d" % k) for k in keys])
+                if string_keys else keys.astype(np.int64)),
+         "s1": rng.randint(0, 20, n), "d0": rng.rand(n).astype("float32")}
+    if varlen:
+        cols.append(VarLenSparseFeat(
+            SparseFeat("hv", 30, 4, use_hash=True), maxlen=3))
+        hv = rng.randint(0, 10**6, (n, 3))
+        hv[rng.rand(n, 3) < 0.3] = 0  # mask_zero padding
+        x["hv"] = hv
+    y = rng.randint(0, 2, n).astype("float32")
+    return cols, x, y
+
+
+def test_in_graph_hash_round_trip(tmp_path):
+    """VERDICT r3 #4: raw integer keys -> exported artifact == model.predict
+    on the (host-)hashed batch. The artifact hashes in-graph (ops/hash.py),
+    so serving needs no host hashing at all."""
+    cols, x, y = _hash_fixture(varlen=True)
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    want = model.predict(x)  # host-hashes via canonicalize_batch
+
+    path = str(tmp_path / "hash.shlo")
+    serving.export_stablehlo(model, path, example_batch=x)
+    import json
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert spec["h0"]["in_graph"] and spec["hv"]["in_graph"]
+    assert spec["hv"]["mask_zero"] and not spec["h0"]["mask_zero"]
+
+    # raw keys straight through the artifact (skip_hash: device hashes)
+    serve = serving.load_stablehlo(path)
+    xc_raw = canonicalize_batch(x, cols, skip_hash={"h0", "hv"})
+    got = np.asarray(serve(xc_raw))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+    # and the one-call convenience path
+    got2 = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got2.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_string_key_hash_round_trip(tmp_path):
+    """String keys cannot hash in-graph; the hash-spec sidecar +
+    make_preprocessor reproduce training-time buckets on the host."""
+    cols, x, y = _hash_fixture(string_keys=True)
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    want = model.predict(x)
+
+    path = str(tmp_path / "strhash.shlo")
+    serving.export_stablehlo(model, path, example_batch=x)
+    import json
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert not spec["h0"]["in_graph"]
+
+    prep = serving.make_preprocessor(path + ".hashspec.json")
+    xc = canonicalize_batch(prep(x), cols, skip_hash=prep.skip_hash)
+    serve = serving.load_stablehlo(path)
+    got = np.asarray(serve(xc))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+    got2 = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got2.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hash_in_graph_disabled(tmp_path):
+    """hash_in_graph=False keeps the pre-hashed-id contract but still
+    emits the sidecar so predict_with_artifact serves raw keys via the
+    host preprocessor."""
+    cols, x, y = _hash_fixture()
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    want = model.predict(x)
+
+    path = str(tmp_path / "nohash.shlo")
+    serving.export_stablehlo(model, path, example_batch=x,
+                             hash_in_graph=False)
+    import json
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert not spec["h0"]["in_graph"]
+    got = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
