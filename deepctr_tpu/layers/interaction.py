@@ -328,7 +328,12 @@ class InteractingLayer(nn.Module):
             )
         B, F, E = inputs.shape
         D, H = self.att_embedding_size, self.head_num
-        tn = truncated_normal(stddev=0.05)
+        # reference uses the TF-NATIVE init_ops.TruncatedNormal (stddev 1.0,
+        # ±2σ truncation), NOT keras's 0.05 default (interaction.py:18+734);
+        # the 20x-smaller spread was the round-3 AutoInt quality gap (probe:
+        # tools/autoint_parity_probe.py — forward/grad bit-parity, init std
+        # 0.044 vs 0.88)
+        tn = truncated_normal(stddev=1.0)
         W_Query = self.param("query", tn, (E, D * H))
         W_Key = self.param("key", tn, (E, D * H))
         W_Value = self.param("value", tn, (E, D * H))
@@ -599,8 +604,9 @@ class FwFMLayer(nn.Module):
                     self.num_fields, inputs.shape[1]
                 )
             )
+        # TF-native TruncatedNormal default (stddev 1.0, interaction.py:1385)
         field_strengths = self.param(
-            "field_pair_strengths", truncated_normal(stddev=0.05),
+            "field_pair_strengths", truncated_normal(stddev=1.0),
             (self.num_fields, self.num_fields),
         )
         l2_reg(self, self.regularizer, field_strengths)
@@ -629,8 +635,9 @@ class FEFMLayer(nn.Module):
             )
         F, E = inputs.shape[1], inputs.shape[2]
         row, col = _pair_indices(F)
+        # TF-native TruncatedNormal default (stddev 1.0, interaction.py:1463)
         W = self.param(
-            "field_embeddings", truncated_normal(stddev=0.05), (len(row), E, E)
+            "field_embeddings", truncated_normal(stddev=1.0), (len(row), E, E)
         )
         l2_reg(self, self.regularizer, W)
         W_sym = W + jnp.swapaxes(W, 1, 2)

@@ -442,7 +442,9 @@ class Transformer(nn.Module):
             queries = PositionEncoding()(queries)
             keys = PositionEncoding()(keys)
 
-        tn = truncated_normal(stddev=0.05)
+        # reference uses TF-NATIVE init_ops.TruncatedNormal (stddev 1.0,
+        # sequence.py:14+490), not keras's 0.05 (round-4 init-parity fix)
+        tn = truncated_normal(stddev=1.0)
         W_Query = self.param("query", tn, (E, D * H))
         W_Key = self.param("key", tn, (E, D * H))
         W_Value = self.param("value", tn, (E, D * H))
