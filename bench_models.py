@@ -130,7 +130,8 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
     return batch * scan * calls / (time.perf_counter() - t0)
 
 
-def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
+def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25,
+         f32=False):
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
 
@@ -168,8 +169,11 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
         if selected and name not in selected:
             continue
         model, cols, x, batch = make()
-        # --mp: bf16 activations on top of bf16 tables (mixed precision)
-        kw = dict(compute_dtype="bfloat16") if mp else {}
+        # --mp: force bf16 activations; --f32: force f32 (defeats the
+        # auto policy, which already compiles attention/CIN models bf16);
+        # default: auto
+        kw = (dict(compute_dtype="bfloat16") if mp
+              else dict(compute_dtype="float32") if f32 else {})
         if fused:
             # --fused: VMEM-resident attention kernel (BST/AutoInt paths)
             kw["fused_attention"] = True
@@ -183,7 +187,7 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25):
                       embedding_dtype="bfloat16", **kw)
         rate = _measure(model, cols, x, batch, scan=scan)
         print(json.dumps({"metric": "train_examples_per_s_per_chip",
-                          "model": name, "batch": batch, "mp": mp,
+                          "model": name, "batch": batch, "mp": mp, "f32": f32,
                           "fused_attention": fused, "fused_gru": fused_gru,
                           "scan": scan,
                           "value": round(rate, 1), "unit": "examples/s"}),
@@ -195,9 +199,11 @@ if __name__ == "__main__":
 
     args = set(sys.argv[1:])
     mp = "--mp" in args
+    f32 = "--f32" in args
     fused = "--fused" in args
     fused_gru = "--fused-gru" in args
     args.discard("--mp")
+    args.discard("--f32")
     args.discard("--fused")
     args.discard("--fused-gru")
     scan = 25
@@ -205,4 +211,5 @@ if __name__ == "__main__":
         if a.startswith("--scan="):
             scan = int(a.split("=", 1)[1])
             args.discard(a)
-    main(args or None, mp=mp, fused=fused, fused_gru=fused_gru, scan=scan)
+    main(args or None, mp=mp, fused=fused, fused_gru=fused_gru, scan=scan,
+         f32=f32)

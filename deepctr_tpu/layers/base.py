@@ -36,6 +36,31 @@ def compute_dtype_scope(dtype):
         _COMPUTE_DTYPE.pop()
 
 
+# ---- graph profile (auto mixed-precision policy) ----------------------
+# The attention/CIN layers are the models where bf16 activations are a
+# measured win (+25..77%, BASELINE.md round-3 tables): their (B,H,F,F)
+# score arrays / CIN feature maps dominate HBM traffic. During the init
+# trace those layers mark the profile; CTRModel resolves
+# compute_dtype=None ("auto") to bf16 when the mark is present
+# (training/model.py _resolved_compute_dtype).
+_GRAPH_PROFILE = [None]
+
+
+@contextlib.contextmanager
+def graph_profile_scope(profile: dict):
+    _GRAPH_PROFILE.append(profile)
+    try:
+        yield
+    finally:
+        _GRAPH_PROFILE.pop()
+
+
+def note_mp_preferred():
+    """Called by InteractingLayer / Transformer / CIN at trace time."""
+    if _GRAPH_PROFILE[-1] is not None:
+        _GRAPH_PROFILE[-1]["mp_preferred"] = True
+
+
 # ---- rematerialization (activation recompute) -------------------------
 # jax.checkpoint on the transformer blocks (BST/DSIN): numerically EXACT
 # recompute-in-backward. MEASURED A NO-OP at CTR shapes (fresh-process

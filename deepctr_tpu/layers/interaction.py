@@ -20,6 +20,7 @@ from .activation import activation_fn
 from .base import (
     compute_dtype,
     glorot_normal,
+    note_mp_preferred,
     glorot_uniform,
     l2_reg,
     ones_init,
@@ -156,6 +157,7 @@ class CIN(nn.Module):
             raise ValueError(
                 "Unexpected inputs dimensions %d, expect to be 3 dimensions" % inputs.ndim
             )
+        note_mp_preferred()  # CIN feature maps: bf16 is a measured win
         B, F0, D = inputs.shape
         field_nums = [F0]
         hidden = inputs
@@ -326,6 +328,7 @@ class InteractingLayer(nn.Module):
             raise ValueError(
                 "Unexpected inputs dimensions %d, expect to be 3 dimensions" % inputs.ndim
             )
+        note_mp_preferred()  # (B,H,F,F) scores: bf16 is a measured win
         B, F, E = inputs.shape
         D, H = self.att_embedding_size, self.head_num
         # reference uses the TF-NATIVE init_ops.TruncatedNormal (stddev 1.0,

@@ -21,6 +21,7 @@ import numpy as np
 from .base import (
     MASK_PADDING,
     compute_dtype,
+    note_mp_preferred,
     glorot_uniform,
     l2_reg,
     ones_init,
@@ -442,6 +443,7 @@ class Transformer(nn.Module):
             queries = PositionEncoding()(queries)
             keys = PositionEncoding()(keys)
 
+        note_mp_preferred()  # (B,H,T,T) attention: bf16 is a measured win
         # reference uses TF-NATIVE init_ops.TruncatedNormal (stddev 1.0,
         # sequence.py:14+490), not keras's 0.05 (round-4 init-parity fix)
         tn = truncated_normal(stddev=1.0)

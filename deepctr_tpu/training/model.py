@@ -149,7 +149,15 @@ class CTRModel:
         feature maps, the dominant HBM traffic of those models at large
         batch — are stored bf16. Logits, losses, softmax/LayerNorm math and
         the optimizer always stay f32. Composes with ``embedding_dtype``
-        (bf16 tables then feed bf16 activations with no upcast)."""
+        (bf16 tables then feed bf16 activations with no upcast).
+
+        The default (None == "auto") applies that policy automatically to
+        attention/CIN-dominated graphs (AutoInt/BST/DSIN/xDeepFM/DIFM…):
+        those layers mark the init trace (layers.base.note_mp_preferred)
+        and the model compiles with bf16 activations — the configs where
+        mixed precision measured +25..77% (BASELINE.md) while the 30
+        reference-golden quality gates stay green. ``"float32"`` opts
+        out."""
         _resolved = opt_lib.resolve_optimizer(optimizer)
         # runtime-mutable LR (Keras optimizer.learning_rate parity): the
         # scale travels in opt_state so LR callbacks never force a retrace
@@ -260,12 +268,26 @@ class CTRModel:
             self._rebind_optimizer()
         return self
 
+    def _resolved_compute_dtype(self):
+        """compute_dtype=None/'auto' resolves to bf16 when the init trace
+        marked the graph attention/CIN-dominated (layers.base
+        note_mp_preferred) — the models where bf16 activations are a
+        measured +25..77% (BASELINE.md); everything else stays f32.
+        'float32'/'bfloat16' force the choice."""
+        cd = self.compute_dtype
+        if cd is None or cd == "auto":
+            info = getattr(self, "_graph_profile_info", None)
+            if info and info.get("mp_preferred"):
+                return jnp.bfloat16
+            return jnp.float32
+        return jnp.dtype(cd)
+
     def _cd_scope(self):
         """Activate this model's compute dtype for a trace (layers consult
         layers.base.compute_dtype() at trace time)."""
         from ..layers.base import compute_dtype_scope
 
-        return compute_dtype_scope(self.compute_dtype or jnp.float32)
+        return compute_dtype_scope(self._resolved_compute_dtype())
 
     def _apply_scope(self):
         """Trace scopes for train/predict steps: compute dtype + (when
@@ -316,10 +338,15 @@ class CTRModel:
     def _init_variables(self, x_canonical):
         sample = {k: jnp.asarray(v[:2]) for k, v in x_canonical.items()}
         self._rng, init_key, drop_key = jax.random.split(self._rng, 3)
-        with self._cd_scope():
+        from ..layers.base import graph_profile_scope
+
+        profile = {}
+        with graph_profile_scope(profile), self._cd_scope():
             variables = self.module.init(
                 {"params": init_key, "dropout": drop_key}, sample, training=False
             )
+        # consulted by _resolved_compute_dtype (auto mixed precision)
+        self._graph_profile_info = profile
         variables = flax.core.unfreeze(variables)
         params = variables.pop("params")
         variables.pop("losses", None)

@@ -147,3 +147,35 @@ def test_bf16_compute_multitask():
     l16 = run("bfloat16")
     assert l16[-1] < l16[0]  # trains
     np.testing.assert_allclose(l16, l32, rtol=3e-2)
+
+
+def test_auto_policy_selects_bf16_for_attention_models():
+    """compute_dtype default (auto): attention/CIN graphs compile bf16,
+    plain tabular graphs stay f32, explicit choices always win."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import AutoInt, DeepFM
+
+    cols = [SparseFeat("s%d" % i, 20, 4) for i in range(3)]
+    cols += [DenseFeat("d0", 1)]
+    rng = np.random.RandomState(0)
+    x = {**{"s%d" % i: rng.randint(0, 20, 16) for i in range(3)},
+         "d0": rng.rand(16).astype("float32")}
+    y = rng.randint(0, 2, 16).astype("float32")
+
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy")
+    m.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert jnp.dtype(m._resolved_compute_dtype()) == jnp.float32
+
+    m = AutoInt(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy")
+    m.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert jnp.dtype(m._resolved_compute_dtype()) == jnp.bfloat16
+
+    m = AutoInt(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adam", "binary_crossentropy", compute_dtype="float32")
+    m.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    assert jnp.dtype(m._resolved_compute_dtype()) == jnp.float32

@@ -138,8 +138,10 @@ class TestFusedAttentionFunnelIntegration:
 
         try:
             model = make_model()
+            # kernel-vs-XLA parity is an f32 contract; the auto policy
+            # would otherwise compile these attention models bf16
             model.compile("adam", "binary_crossentropy",
-                          fused_attention=fused)
+                          fused_attention=fused, compute_dtype="float32")
             h = model.fit(x, y, batch_size=8, epochs=2, shuffle=False,
                           verbose=0)
             return h.history["loss"], model.predict(x)
