@@ -1,0 +1,198 @@
+"""Held-out AUC parity at real scale (VERDICT r3 #5): train DeepFM and
+DIN on the 1M-row generated datasets (tools/gen_heldout_data.py), eval on
+the 100k held-out split, OURS vs the REFERENCE DeepCTR (TF CPU) on the
+IDENTICAL TFRecord bytes. Done-gate: |AUC_ours - AUC_ref| <= 0.002.
+
+One side per process (fresh-process discipline):
+
+  # ours (TPU by default; JAX_PLATFORMS=cpu works too)
+  PYTHONPATH=/root/repo[:/root/.axon_site] python tools/heldout_quality_ab.py ours deepfm
+  # reference
+  TF_USE_LEGACY_KERAS=1 PYTHONPATH=/root/repo:/root/reference \
+      python tools/heldout_quality_ab.py ref deepfm
+
+Prints ONE JSON line: {"side","model","auc","logloss","train_s"}.
+Hyperparams are identical on both sides: adam(0.001), bce, batch 4096,
+2 epochs, embedding_dim 16 (deepfm) / 8 (din), same column schemas.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+DATA = os.environ.get("HELDOUT_DATA", "/root/repo/heldout_data")
+BATCH = 4096
+EPOCHS = 2
+
+SPARSE = ["C%d" % i for i in range(1, 27)]
+DENSE = ["I%d" % i for i in range(1, 14)]
+VOCAB = 2000
+ITEM_VOCAB = 5000
+HIST_T = 20
+
+
+def _auc(y, p):
+    from sklearn.metrics import log_loss, roc_auc_score
+
+    y = np.asarray(y).reshape(-1)
+    p = np.asarray(p).reshape(-1)
+    return roc_auc_score(y, p), log_loss(y, np.clip(p, 1e-7, 1 - 1e-7))
+
+
+# ---------------------------------------------------------------- ours --
+def ours_deepfm():
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.estimator.inputs import (FixedLenFeature,
+                                              input_fn_tfrecord)
+    from deepctr_tpu.models import DeepFM
+
+    desc = {f: FixedLenFeature((1,), "int64", 0) for f in SPARSE}
+    desc.update({f: FixedLenFeature((1,), "float32", 0.0) for f in DENSE})
+    desc["label"] = FixedLenFeature((1,), "float32")
+    d = os.path.join(DATA, "tabular")
+    train_fn = input_fn_tfrecord(
+        os.path.join(d, "train.tfrecords"), desc, label="label",
+        batch_size=BATCH, num_epochs=EPOCHS, shuffle_factor=10)
+    test_fn = input_fn_tfrecord(
+        os.path.join(d, "test.tfrecords"), desc, label="label",
+        batch_size=BATCH, num_epochs=1, shuffle_factor=0)
+
+    cols = ([SparseFeat(f, VOCAB, 16) for f in SPARSE] +
+            [DenseFeat(f, 1) for f in DENSE])
+    model = DeepFM(cols, cols)
+    model.compile("adam", "binary_crossentropy")
+    t0 = time.time()
+    model.fit(train_fn, verbose=0, steps_per_execution=8)
+    train_s = time.time() - t0
+    ys, ps = _ours_predict(model, test_fn)
+    return ys, ps, train_s
+
+
+def _ours_predict(model, test_fn):
+    ys, ps = [], []
+    for xb, yb in test_fn():
+        ps.append(np.asarray(model.predict(xb, batch_size=len(yb))))
+        ys.append(np.asarray(yb).reshape(-1))
+    return np.concatenate(ys), np.concatenate(ps).reshape(-1)
+
+
+def ours_din():
+    from deepctr_tpu import DenseFeat, SparseFeat, VarLenSparseFeat
+    from deepctr_tpu.estimator.inputs import (FixedLenFeature,
+                                              input_fn_tfrecord)
+    from deepctr_tpu.models import DIN
+
+    desc = {"item": FixedLenFeature((1,), "int64", 0),
+            "hist_item": FixedLenFeature((HIST_T,), "int64", 0),
+            "seq_length": FixedLenFeature((1,), "int64", 0),
+            "label": FixedLenFeature((1,), "float32")}
+    d = os.path.join(DATA, "seq")
+    train_fn = input_fn_tfrecord(
+        os.path.join(d, "train.tfrecords"), desc, label="label",
+        batch_size=BATCH, num_epochs=EPOCHS, shuffle_factor=10)
+    test_fn = input_fn_tfrecord(
+        os.path.join(d, "test.tfrecords"), desc, label="label",
+        batch_size=BATCH, num_epochs=1, shuffle_factor=0)
+
+    cols = [
+        SparseFeat("item", ITEM_VOCAB, 8),
+        VarLenSparseFeat(
+            SparseFeat("hist_item", ITEM_VOCAB, 8, embedding_name="item"),
+            maxlen=HIST_T, length_name="seq_length"),
+    ]
+    model = DIN(cols, ["item"], dnn_hidden_units=(64, 32))
+    model.compile("adam", "binary_crossentropy")
+    t0 = time.time()
+    model.fit(train_fn, verbose=0, steps_per_execution=8)
+    train_s = time.time() - t0
+    ys, ps = _ours_predict(model, test_fn)
+    return ys, ps, train_s
+
+
+# ----------------------------------------------------------------- ref --
+def _tf_dataset(path, seq, shuffle):
+    import tensorflow as tf
+
+    if seq:
+        desc = {"item": tf.io.FixedLenFeature([1], tf.int64),
+                "hist_item": tf.io.FixedLenFeature([HIST_T], tf.int64),
+                "seq_length": tf.io.FixedLenFeature([1], tf.int64),
+                "label": tf.io.FixedLenFeature([1], tf.float32)}
+    else:
+        desc = {f: tf.io.FixedLenFeature([1], tf.int64) for f in SPARSE}
+        desc.update({f: tf.io.FixedLenFeature([1], tf.float32)
+                     for f in DENSE})
+        desc["label"] = tf.io.FixedLenFeature([1], tf.float32)
+
+    def parse(ex):
+        feats = tf.io.parse_single_example(ex, desc)
+        label = feats.pop("label")
+        return feats, label
+
+    ds = tf.data.TFRecordDataset(path).map(
+        parse, num_parallel_calls=tf.data.AUTOTUNE)
+    if shuffle:
+        ds = ds.shuffle(10 * BATCH, seed=7)
+    return ds.batch(BATCH).prefetch(tf.data.AUTOTUNE)
+
+
+def ref_deepfm():
+    from deepctr.feature_column import DenseFeat, SparseFeat
+    from deepctr.models import DeepFM
+
+    d = os.path.join(DATA, "tabular")
+    cols = ([SparseFeat(f, VOCAB, 16) for f in SPARSE] +
+            [DenseFeat(f, 1) for f in DENSE])
+    model = DeepFM(cols, cols)
+    model.compile("adam", "binary_crossentropy")
+    tr = _tf_dataset(os.path.join(d, "train.tfrecords"), False, True)
+    te = _tf_dataset(os.path.join(d, "test.tfrecords"), False, False)
+    t0 = time.time()
+    model.fit(tr, epochs=EPOCHS, verbose=0)
+    train_s = time.time() - t0
+    ys = np.concatenate([y.numpy().reshape(-1) for _, y in te])
+    ps = model.predict(te, verbose=0).reshape(-1)
+    return ys, ps, train_s
+
+
+def ref_din():
+    from deepctr.feature_column import SparseFeat, VarLenSparseFeat
+    from deepctr.models import DIN
+
+    d = os.path.join(DATA, "seq")
+    cols = [
+        SparseFeat("item", ITEM_VOCAB, 8),
+        VarLenSparseFeat(
+            SparseFeat("hist_item", ITEM_VOCAB, 8, embedding_name="item"),
+            maxlen=HIST_T, length_name="seq_length"),
+    ]
+    model = DIN(cols, ["item"], dnn_hidden_units=(64, 32))
+    model.compile("adam", "binary_crossentropy")
+    tr = _tf_dataset(os.path.join(d, "train.tfrecords"), True, True)
+    te = _tf_dataset(os.path.join(d, "test.tfrecords"), True, False)
+    t0 = time.time()
+    model.fit(tr, epochs=EPOCHS, verbose=0)
+    train_s = time.time() - t0
+    ys = np.concatenate([y.numpy().reshape(-1) for _, y in te])
+    ps = model.predict(te, verbose=0).reshape(-1)
+    return ys, ps, train_s
+
+
+def main():
+    side, model = sys.argv[1], sys.argv[2]
+    fn = {("ours", "deepfm"): ours_deepfm, ("ours", "din"): ours_din,
+          ("ref", "deepfm"): ref_deepfm, ("ref", "din"): ref_din}[
+        (side, model)]
+    ys, ps, train_s = fn()
+    auc, ll = _auc(ys, ps)
+    print(json.dumps({"side": side, "model": model, "auc": round(auc, 4),
+                      "logloss": round(ll, 4), "n_test": int(len(ys)),
+                      "train_s": round(train_s, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
