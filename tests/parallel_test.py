@@ -216,9 +216,11 @@ def test_bst_fused_attention_on_mesh_loss_parity(mesh):
             cols, behaviors, x, y = ge._seq_fixture(16)
             model = BST(cols, behaviors, att_head_num=2,
                         dnn_hidden_units=(8, 4))
+            # kernel-vs-XLA parity is an f32 contract (the auto policy
+            # would compile BST bf16)
             model.compile("adam", "binary_crossentropy",
                           mesh=mesh if use_mesh else None,
-                          fused_attention=fused)
+                          fused_attention=fused, compute_dtype="float32")
             h = model.fit(x, y, batch_size=8, epochs=2, shuffle=False,
                           verbose=0)
             return h.history["loss"]

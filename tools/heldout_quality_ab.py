@@ -26,7 +26,7 @@ import numpy as np
 
 DATA = os.environ.get("HELDOUT_DATA", "/root/repo/heldout_data")
 BATCH = 4096
-EPOCHS = 2
+EPOCHS = int(os.environ.get("HELDOUT_EPOCHS", "2"))
 
 SPARSE = ["C%d" % i for i in range(1, 27)]
 DENSE = ["I%d" % i for i in range(1, 14)]
