@@ -80,6 +80,11 @@ def gen_tabular(outdir, rng):
 def gen_seq(outdir, rng):
     vec = rng.normal(0, 1.0, (ITEM_VOCAB, 8)).astype(np.float32)
     vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    # per-item popularity main effect: without it the signal is PURE
+    # matrix factorization, which CTR models (tiny 1e-4 embedding init,
+    # BCE) cannot escape in a couple of epochs — both frameworks sat at
+    # AUC 0.50. Real CTR data always has popularity structure.
+    pop = rng.normal(0, 0.8, ITEM_VOCAB).astype(np.float32)
     alpha = 6.0
     os.makedirs(outdir, exist_ok=True)
 
@@ -97,7 +102,8 @@ def gen_seq(outdir, rng):
             target = r.randint(1, ITEM_VOCAB, m).astype(np.int64)
             interest = np.where(pad[..., None], 0.0, vec[hist]).sum(1)
             interest /= hlen[:, None]
-            logit = alpha * np.einsum("bk,bk->b", interest, vec[target]) - 0.35
+            logit = (alpha * np.einsum("bk,bk->b", interest, vec[target])
+                     + pop[target] - 0.35)
             p = 1.0 / (1.0 + np.exp(-logit))
             y = (r.rand(m) < p).astype(np.float32)
             for i in range(m):

@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 DATA = os.environ.get("HELDOUT_DATA", "/root/repo/heldout_data")
 BATCH = 4096
 EPOCHS = int(os.environ.get("HELDOUT_EPOCHS", "2"))
