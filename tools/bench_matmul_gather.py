@@ -86,11 +86,16 @@ def main():
     fused = jax.jit(lambda i, t: gather(i, t).sum())
     xla = jax.jit(lambda i, t: jnp.take(t, i, axis=0).sum())
 
+    # Correctness: compare ROWS elementwise on a slice. (A global 200k-row
+    # f32 sum is the wrong check — it cancels catastrophically and failed
+    # spuriously at some shapes, the round-3 "block-shape bug".) The MXU
+    # one-hot matmul runs bf16 input passes -> bf16-class row tolerance.
+    rows_fused = np.asarray(gather(ids[:R], table))
+    rows_xla = np.asarray(jnp.take(table, ids[:R], axis=0))
+    np.testing.assert_allclose(rows_fused, rows_xla, rtol=1e-2, atol=1e-2)
+
     a, b = fused(ids, table), xla(ids, table)
     jax.block_until_ready((a, b))
-    # MXU one-hot matmul runs bf16 passes -> bf16-class tolerance on the
-    # 200k-row reduction
-    np.testing.assert_allclose(float(a), float(b), rtol=2e-3)
     _ = float(a)  # honest mode
 
     out = {"rows": N, "vocab": V, "dim": E, "chunk": R}
