@@ -97,18 +97,13 @@ def _scan_python(data):
     return np.asarray(offsets, np.int64), np.asarray(lengths, np.int64)
 
 
-def iter_tfrecord_chunks(filenames, feature_description,
-                         chunk_records: int = 16384,
-                         parse_threads: Optional[int] = None,
-                         ) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield dense column chunks of <= chunk_records examples per yield.
-
-    Memory is O(chunk_records), independent of file size: the file is
-    mmap'd and only the current chunk's pages are touched.
-    """
+def iter_tfrecord_frames(filenames, chunk_records: int = 16384):
+    """Yield raw ``(data, offsets, lengths)`` frame slices of
+    <= chunk_records records per yield, from mmap'd files (pages stay
+    file-backed and evictable). The yielded ``data`` view is only valid
+    until the generator advances (the map closes with the file)."""
     if isinstance(filenames, str):
         filenames = [filenames]
-    schema = _schema(feature_description)
     for path in filenames:
         with open(path, "rb") as f:
             try:
@@ -132,24 +127,8 @@ def iter_tfrecord_chunks(filenames, feature_description,
                     offsets, lengths = _scan_python(bytes(mapped))
                 n = len(offsets)
                 for start in range(0, n, chunk_records):
-                    off = offsets[start:start + chunk_records]
-                    ln = lengths[start:start + chunk_records]
-                    parsed = None
-                    try:
-                        from .. import native
-
-                        parsed = native.parse_examples_batch(
-                            data, off, ln, schema, nthreads=parse_threads)
-                    except ValueError:
-                        raise
-                    except Exception:
-                        parsed = None
-                    if parsed is None:
-                        parsed = _parse_chunk_python(
-                            data, off, ln, schema, feature_description)
-                    cols, missing = parsed
-                    yield _apply_defaults(cols, missing, schema,
-                                          feature_description)
+                    yield (data, offsets[start:start + chunk_records],
+                           lengths[start:start + chunk_records])
             finally:
                 # drop the buffer export before closing the map (numpy views
                 # of the mmap must not outlive it)
@@ -160,6 +139,40 @@ def iter_tfrecord_chunks(filenames, feature_description,
                     # a propagating exception's traceback still references a
                     # view; the map closes when the GC drops it
                     pass
+
+
+def _parse_frame(data, off, ln, schema, feature_description, parse_threads):
+    """One frame slice -> defaults-applied column dict."""
+    parsed = None
+    try:
+        from .. import native
+
+        parsed = native.parse_examples_batch(
+            data, off, ln, schema, nthreads=parse_threads)
+    except ValueError:
+        raise
+    except Exception:
+        parsed = None
+    if parsed is None:
+        parsed = _parse_chunk_python(data, off, ln, schema,
+                                     feature_description)
+    cols, missing = parsed
+    return _apply_defaults(cols, missing, schema, feature_description)
+
+
+def iter_tfrecord_chunks(filenames, feature_description,
+                         chunk_records: int = 16384,
+                         parse_threads: Optional[int] = None,
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield dense column chunks of <= chunk_records examples per yield.
+
+    Memory is O(chunk_records), independent of file size: the file is
+    mmap'd and only the current chunk's pages are touched.
+    """
+    schema = _schema(feature_description)
+    for data, off, ln in iter_tfrecord_frames(filenames, chunk_records):
+        yield _parse_frame(data, off, ln, schema, feature_description,
+                           parse_threads)
 
 
 class _Pool:
@@ -188,6 +201,60 @@ class _Pool:
                 np.float32 if kind == "float" else np.int64)
             self.groups.append(([n for n, _ in feats], offs, mat))
         self.size = 0
+        # native one-call pop + parse-into-rows (C++ hostops): feature ->
+        # (group index, column offset, width, kind)
+        self._feat_dest = {}
+        gi_by_kind = {}
+        for gi, (names, offs, mat) in enumerate(self.groups):
+            gi_by_kind[mat.dtype.kind] = gi
+        for name, kind, width in schema:
+            gi = gi_by_kind["f" if kind == "float" else "i"]
+            names, offs, _ = self.groups[gi]
+            self._feat_dest[name] = (gi, int(offs[names.index(name)]),
+                                     width, kind)
+        self._scratch = np.empty(capacity, np.int32)
+        self._schema = schema
+
+    def parse_into(self, data, off, ln, feature_description, nthreads):
+        """Decode a frame slice DIRECTLY into this pool's matrix rows
+        [size, size+n) — the push copy never happens (C++ strided parse).
+        Returns False when the native entry point is unavailable (caller
+        parses to a temp chunk and uses push)."""
+        from .. import native
+
+        n = len(off)
+        dests, strides = [], []
+        for name, kind, width in self._schema:
+            gi, col, _, _ = self._feat_dest[name]
+            mat = self.groups[gi][2]
+            W = mat.shape[1]
+            addr = mat.ctypes.data + (self.size * W + col) * mat.itemsize
+            dests.append(addr)
+            strides.append(W)
+        missing = native.parse_examples_into(
+            data, off, ln, self._schema, dests, strides, nthreads=nthreads)
+        if missing is None:
+            return False
+        # pool rows are REUSED memory: every missing feature must be
+        # overwritten (defaults), not assumed zero
+        if missing.any():
+            for j, (name, kind, width) in enumerate(self._schema):
+                rows = np.nonzero(missing[:, j])[0]
+                if len(rows) == 0:
+                    continue
+                spec = feature_description[name]
+                if spec.default_value is None:
+                    raise ValueError(
+                        "Feature '%s' missing and has no default" % name)
+                default = spec.default_value
+                if not isinstance(default, (list, tuple)):
+                    default = [default] * width
+                gi, col, _, _ = self._feat_dest[name]
+                mat = self.groups[gi][2]
+                mat[self.size + rows, col:col + width] = np.asarray(
+                    default, mat.dtype).reshape(1, width)
+        self.size += n
+        return True
 
     def push(self, chunk, start, count):
         end = self.size + count
@@ -199,6 +266,22 @@ class _Pool:
 
     def pop_random(self, count):
         count = min(count, self.size)
+        from .. import native
+
+        outs = [np.empty((count, mat.shape[1]), mat.dtype)
+                for _, _, mat in self.groups]
+        if native.pool_pop_native(
+                [mat for _, _, mat in self.groups],
+                [mat.shape[1] * mat.itemsize for _, _, mat in self.groups],
+                self.size, count, int(self.rng.integers(2 ** 63)),
+                self._scratch, outs):
+            # C++ did sample+gather+compact in one GIL-released call
+            out = {}
+            for (names, offs, _), g in zip(self.groups, outs):
+                for i, name in enumerate(names):
+                    out[name] = g[:, offs[i]:offs[i + 1]]
+            self.size -= count
+            return out
         pick = self.rng.choice(self.size, count, replace=False,
                                shuffle=False)
         # refill plan: move the tail's surviving rows into the holes below
@@ -244,13 +327,25 @@ def iter_tfrecord_batches(filenames, feature_description, label=None,
     while num_epochs is None or epoch < num_epochs:
         if shuffle_buffer and shuffle_buffer > batch_size:
             pool = _Pool(schema, shuffle_buffer + batch_size, rng)
-            for chunk in iter_tfrecord_chunks(filenames, feature_description,
-                                              chunk_records, parse_threads):
-                n = len(next(iter(chunk.values())))
+            for data, off, ln in iter_tfrecord_frames(filenames,
+                                                      chunk_records):
+                n = len(off)
                 pos = 0
+                chunk = None  # lazily parsed only on the fallback path
                 while pos < n:
                     take = min(n - pos, pool.capacity - pool.size)
-                    pool.push(chunk, pos, take)
+                    # fast path: C++ strided parse decodes records straight
+                    # into the pool's matrix rows (no temp chunk, no push
+                    # copy, GIL released)
+                    ok = chunk is None and pool.parse_into(
+                        data, off[pos:pos + take], ln[pos:pos + take],
+                        feature_description, parse_threads)
+                    if not ok:
+                        if chunk is None:
+                            chunk = _parse_frame(data, off, ln, schema,
+                                                 feature_description,
+                                                 parse_threads)
+                        pool.push(chunk, pos, take)
                     pos += take
                     while pool.size >= shuffle_buffer:
                         yield split_label(pool.pop_random(batch_size))

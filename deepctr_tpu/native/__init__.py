@@ -79,6 +79,25 @@ def get_lib():
             lib.parse_examples_mt.restype = ctypes.c_int64
         except AttributeError:  # stale .so without the mt entry point
             pass
+        try:
+            # strided variants: parse straight into dtype-grouped matrix
+            # rows (shuffle pool); + the one-call pool pop
+            lib.parse_examples_strided_mt.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+            lib.parse_examples_strided_mt.restype = ctypes.c_int64
+            lib.pool_pop.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.pool_pop.restype = None
+        except AttributeError:  # stale .so without the pool entry points
+            pass
         lib.crc32c_masked.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.crc32c_masked.restype = ctypes.c_uint32
         _lib = lib
@@ -172,6 +191,67 @@ def parse_examples_batch(data: np.ndarray, offsets: np.ndarray,
     if rc < 0:
         raise ValueError("Malformed tf.train.Example at record %d" % (-rc - 1))
     return cols, missing
+
+
+def parse_examples_into(data: np.ndarray, offsets: np.ndarray,
+                        lengths: np.ndarray, schema, dest_ptrs,
+                        dest_strides, nthreads=None):
+    """Decode Example payloads DIRECTLY into caller buffers (e.g. rows of
+    the shuffle pool's dtype-grouped matrices): ``dest_ptrs[j]`` addresses
+    feature j's first element, ``dest_strides[j]`` its row stride in
+    ELEMENTS. Returns the (n, nf) missing mask, or None when the strided
+    native entry point is unavailable. Raises ValueError on malformed
+    records."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "parse_examples_strided_mt", None) is None:
+        return None
+    n = len(offsets)
+    nf = len(schema)
+    name_blob = b"".join(name.encode("utf-8") for name, _, _ in schema)
+    name_off = np.zeros(nf + 1, np.int64)
+    for j, (name, _, _) in enumerate(schema):
+        name_off[j + 1] = name_off[j] + len(name.encode("utf-8"))
+    names = (np.frombuffer(name_blob, np.uint8)
+             if name_blob else np.zeros(0, np.uint8))
+    kinds = np.asarray([1 if k == "float" else 0 for _, k, _ in schema],
+                       np.int32)
+    widths = np.asarray([w for _, _, w in schema], np.int64)
+    strides = np.ascontiguousarray(dest_strides, np.int64)
+    ptrs = (ctypes.c_void_p * nf)(*[int(p) for p in dest_ptrs])
+    missing = np.zeros((n, nf), np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
+    rc = lib.parse_examples_strided_mt(
+        data.ctypes.data, offsets.ctypes.data, lengths.ctypes.data, n,
+        names.ctypes.data if nf else 0, name_off.ctypes.data,
+        kinds.ctypes.data, widths.ctypes.data, strides.ctypes.data, nf,
+        ctypes.cast(ptrs, ctypes.c_void_p), missing.ctypes.data,
+        nthreads if n >= 2048 else 1,
+    )
+    if rc < 0:
+        raise ValueError("Malformed tf.train.Example at record %d" % (-rc - 1))
+    return missing
+
+
+def pool_pop_native(mats, row_bytes, size, count, seed, scratch, outs):
+    """One-call shuffle-pool pop (sample + gather + compact; GIL
+    released). Returns False when the native entry point is unavailable —
+    the caller falls back to the numpy pop."""
+    lib = get_lib()
+    if lib is None or getattr(lib, "pool_pop", None) is None:
+        return False
+    g = len(mats)
+    mat_ptrs = (ctypes.c_void_p * g)(*[m.ctypes.data for m in mats])
+    out_ptrs = (ctypes.c_void_p * g)(*[o.ctypes.data for o in outs])
+    rb = np.ascontiguousarray(row_bytes, np.int64)
+    lib.pool_pop(
+        ctypes.cast(mat_ptrs, ctypes.c_void_p), rb.ctypes.data, g,
+        int(size), int(count), ctypes.c_uint64(int(seed) & (2 ** 64 - 1)),
+        scratch.ctypes.data, ctypes.cast(out_ptrs, ctypes.c_void_p),
+    )
+    return True
 
 
 def scan_tfrecord_data(data: np.ndarray):

@@ -369,11 +369,18 @@ inline int64_t decode_feature(const uint8_t* buf, int64_t size,
 // lacks feature j (caller applies defaults).
 //
 // Returns 0 on success, -(record_index + 1) on a malformed record.
-int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
-                       const int64_t* lengths, int64_t n,
-                       const uint8_t* names, const int64_t* name_offsets,
-                       const int32_t* kinds, const int64_t* widths,
-                       int64_t nf, void** out_ptrs, uint8_t* missing) {
+//
+// ``strides``: each feature's DESTINATION row stride in elements —
+// widths[j] for plain (n, width) arrays, or the dtype-grouped matrix's
+// total row width when decoding straight into shuffle-pool rows
+// (parse_examples_strided); out_ptrs[j] then points at the feature's
+// column offset inside the matrix.
+static int64_t parse_examples_core(
+    const uint8_t* data, const int64_t* offsets,
+    const int64_t* lengths, int64_t n,
+    const uint8_t* names, const int64_t* name_offsets,
+    const int32_t* kinds, const int64_t* widths, const int64_t* strides,
+    int64_t nf, void** out_ptrs, uint8_t* missing) {
   // scratch for one feature's decoded values
   int64_t max_w = 1;
   for (int64_t j = 0; j < nf; ++j)
@@ -449,11 +456,11 @@ int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
                                                want, buf_f, buf_i);
             if (got != widths[j]) goto malformed;
             if (kinds[j] == 1) {
-              float* out = (float*)out_ptrs[j] + i * widths[j];
+              float* out = (float*)out_ptrs[j] + i * strides[j];
               for (int64_t v = 0; v < widths[j]; ++v)
                 out[v] = (float)buf_f[v];
             } else {
-              int64_t* out = (int64_t*)out_ptrs[j] + i * widths[j];
+              int64_t* out = (int64_t*)out_ptrs[j] + i * strides[j];
               for (int64_t v = 0; v < widths[j]; ++v) out[v] = buf_i[v];
             }
             missing[i * nf + j] = 0;
@@ -473,20 +480,40 @@ int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
   return 0;
 }
 
-// Multi-threaded parse_examples: rows are independent, so split [0, n)
+int64_t parse_examples(const uint8_t* data, const int64_t* offsets,
+                       const int64_t* lengths, int64_t n,
+                       const uint8_t* names, const int64_t* name_offsets,
+                       const int32_t* kinds, const int64_t* widths,
+                       int64_t nf, void** out_ptrs, uint8_t* missing) {
+  return parse_examples_core(data, offsets, lengths, n, names, name_offsets,
+                             kinds, widths, /*strides=*/widths, nf, out_ptrs,
+                             missing);
+}
+
+int64_t parse_examples_strided(
+    const uint8_t* data, const int64_t* offsets, const int64_t* lengths,
+    int64_t n, const uint8_t* names, const int64_t* name_offsets,
+    const int32_t* kinds, const int64_t* widths, const int64_t* strides,
+    int64_t nf, void** out_ptrs, uint8_t* missing) {
+  return parse_examples_core(data, offsets, lengths, n, names, name_offsets,
+                             kinds, widths, strides, nf, out_ptrs, missing);
+}
+
+// Multi-threaded parse: rows are independent, so split [0, n)
 // across nthreads workers, each writing its disjoint row range of the
 // shared column buffers (same algorithm per row — bit-identical output).
 // Returns 0 on success, -(global_record_index + 1) on the first
 // malformed record any worker hits.
-int64_t parse_examples_mt(const uint8_t* data, const int64_t* offsets,
-                          const int64_t* lengths, int64_t n,
-                          const uint8_t* names, const int64_t* name_offsets,
-                          const int32_t* kinds, const int64_t* widths,
-                          int64_t nf, void** out_ptrs, uint8_t* missing,
-                          int64_t nthreads) {
+static int64_t parse_examples_mt_core(
+    const uint8_t* data, const int64_t* offsets,
+    const int64_t* lengths, int64_t n,
+    const uint8_t* names, const int64_t* name_offsets,
+    const int32_t* kinds, const int64_t* widths, const int64_t* strides,
+    int64_t nf, void** out_ptrs, uint8_t* missing, int64_t nthreads) {
   if (nthreads <= 1 || n < 2 * nthreads)
-    return parse_examples(data, offsets, lengths, n, names, name_offsets,
-                          kinds, widths, nf, out_ptrs, missing);
+    return parse_examples_core(data, offsets, lengths, n, names,
+                               name_offsets, kinds, widths, strides, nf,
+                               out_ptrs, missing);
   std::atomic<int64_t> err(0);  // 0 = ok; else -(global_index + 1)
   std::vector<std::thread> workers;
   const int64_t chunk = (n + nthreads - 1) / nthreads;
@@ -498,11 +525,11 @@ int64_t parse_examples_mt(const uint8_t* data, const int64_t* offsets,
       std::vector<void*> shifted(nf);
       for (int64_t j = 0; j < nf; ++j) {
         const int64_t elem = kinds[j] == 1 ? 4 : 8;
-        shifted[j] = (uint8_t*)out_ptrs[j] + lo * widths[j] * elem;
+        shifted[j] = (uint8_t*)out_ptrs[j] + lo * strides[j] * elem;
       }
-      const int64_t r = parse_examples(
+      const int64_t r = parse_examples_core(
           data, offsets + lo, lengths + lo, hi - lo, names, name_offsets,
-          kinds, widths, nf, shifted.data(), missing + lo * nf);
+          kinds, widths, strides, nf, shifted.data(), missing + lo * nf);
       if (r < 0) {
         int64_t expected = 0;
         err.compare_exchange_strong(expected, -(lo + (-r - 1) + 1));
@@ -511,6 +538,74 @@ int64_t parse_examples_mt(const uint8_t* data, const int64_t* offsets,
   }
   for (auto& w : workers) w.join();
   return err.load();
+}
+
+int64_t parse_examples_mt(const uint8_t* data, const int64_t* offsets,
+                          const int64_t* lengths, int64_t n,
+                          const uint8_t* names, const int64_t* name_offsets,
+                          const int32_t* kinds, const int64_t* widths,
+                          int64_t nf, void** out_ptrs, uint8_t* missing,
+                          int64_t nthreads) {
+  return parse_examples_mt_core(data, offsets, lengths, n, names,
+                                name_offsets, kinds, widths,
+                                /*strides=*/widths, nf, out_ptrs, missing,
+                                nthreads);
+}
+
+int64_t parse_examples_strided_mt(
+    const uint8_t* data, const int64_t* offsets, const int64_t* lengths,
+    int64_t n, const uint8_t* names, const int64_t* name_offsets,
+    const int32_t* kinds, const int64_t* widths, const int64_t* strides,
+    int64_t nf, void** out_ptrs, uint8_t* missing, int64_t nthreads) {
+  return parse_examples_mt_core(data, offsets, lengths, n, names,
+                                name_offsets, kinds, widths, strides, nf,
+                                out_ptrs, missing, nthreads);
+}
+
+// ---------------------------------------------------------------------
+// Shuffle-pool pop (streaming.py _Pool.pop_random in ONE GIL-released
+// call): distinct-sample `count` of `size` live rows via a partial
+// Fisher-Yates over idx_scratch, gather the picked rows of every
+// dtype-grouped matrix into its out buffer, then compact — move the
+// tail's surviving rows into the holes below the new size (identical
+// refill plan to the numpy version: only `count` rows ever move).
+void pool_pop(uint8_t* const* mats, const int64_t* row_bytes,
+              int64_t ngroups, int64_t size, int64_t count, uint64_t seed,
+              int32_t* idx_scratch, uint8_t* const* outs) {
+  for (int64_t i = 0; i < size; ++i) idx_scratch[i] = (int32_t)i;
+  uint64_t x = seed | 1;  // xorshift64*
+  for (int64_t i = 0; i < count; ++i) {
+    x ^= x >> 12;
+    x ^= x << 25;
+    x ^= x >> 27;
+    const uint64_t r = x * 0x2545F4914F6CDD1DULL;
+    const int64_t j = i + (int64_t)(r % (uint64_t)(size - i));
+    const int32_t tmp = idx_scratch[i];
+    idx_scratch[i] = idx_scratch[j];
+    idx_scratch[j] = tmp;
+  }
+  for (int64_t g = 0; g < ngroups; ++g) {
+    const int64_t rb = row_bytes[g];
+    uint8_t* mat = mats[g];
+    uint8_t* out = outs[g];
+    for (int64_t i = 0; i < count; ++i)
+      std::memcpy(out + i * rb, mat + (int64_t)idx_scratch[i] * rb, rb);
+  }
+  // compact: after the partial FY, idx_scratch[count:size] are exactly
+  // the surviving rows; pair each hole (picked slot below new_size)
+  // with a surviving row >= new_size — the two sets have equal counts
+  const int64_t new_size = size - count;
+  int64_t si = count;
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t hole = (int64_t)idx_scratch[i];
+    if (hole >= new_size) continue;
+    while (si < size && (int64_t)idx_scratch[si] < new_size) ++si;
+    const int64_t src = (int64_t)idx_scratch[si++];
+    for (int64_t g = 0; g < ngroups; ++g) {
+      const int64_t rb = row_bytes[g];
+      std::memcpy(mats[g] + hole * rb, mats[g] + src * rb, rb);
+    }
+  }
 }
 
 }  // extern "C"

@@ -190,3 +190,55 @@ def test_prefetched_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+@needs_sample
+def test_shuffled_stream_is_content_complete():
+    """The shuffle pool (native parse-into-rows + one-call C++ pop, with
+    numpy fallbacks) must deliver EXACTLY the file's records — multiset
+    equality, not just counts."""
+    plain, shuffled = [], []
+    for dest, kw in ((plain, dict(shuffle_buffer=0)),
+                     (shuffled, dict(shuffle_buffer=100))):
+        for x, y in iter_tfrecord_batches(TR, FEATURES, label="label",
+                                          batch_size=32, num_epochs=1, **kw):
+            key = np.concatenate(
+                [np.asarray(x[k], np.float64).reshape(len(y), -1)
+                 for k in sorted(x)] + [y.reshape(-1, 1).astype(np.float64)],
+                axis=1)
+            dest.append(key)
+    a = np.concatenate(plain)
+    b = np.concatenate(shuffled)
+    assert a.shape == b.shape
+    order_a = np.lexsort(a.T)
+    order_b = np.lexsort(b.T)
+    np.testing.assert_array_equal(a[order_a], b[order_b])
+
+
+def test_pool_row_reuse_applies_defaults(tmp_path):
+    """Pool matrix rows are REUSED memory: a record missing a feature must
+    take the default, never a previous occupant's bytes (parse-into-rows
+    path)."""
+    from deepctr_tpu.estimator.tfrecord import write_tfrecord_examples
+
+    path = str(tmp_path / "mix.tfrecords")
+    rows = []
+    for i in range(400):
+        r = {"a": i, "label": float(i % 2)}
+        if i % 3 != 0:
+            r["b"] = i * 10  # feature 'b' missing on every 3rd record
+        rows.append(r)
+    write_tfrecord_examples(path, iter(rows))
+    desc = {"a": FixedLenFeature((1,), "int64", 0),
+            "b": FixedLenFeature((1,), "int64", -7),
+            "label": FixedLenFeature((1,), "float32")}
+    got = {}
+    for x, y in iter_tfrecord_batches(path, desc, label="label",
+                                      batch_size=32, num_epochs=2,
+                                      shuffle_buffer=64):
+        for a, b in zip(np.asarray(x["a"]).reshape(-1),
+                        np.asarray(x["b"]).reshape(-1)):
+            want = -7 if a % 3 == 0 else a * 10
+            assert b == want, (a, b)
+            got[int(a)] = int(b)
+    assert len(got) == 400
