@@ -129,12 +129,20 @@ class Concat:
 
 
 class Hash:
-    """Host-side Hash (reference utils.py:41-121): hashes values into
+    """Hash layer (reference utils.py:41-121): hashes values into
     [0, num_buckets) — or [1, num_buckets) with ``mask_zero`` (0 stays
     0) — or looks ids up from a two-column CSV ``vocabulary_path``.
-    Operates on numpy arrays BEFORE device transfer (TPU has no string
-    ops); bucket assignment is bit-identical to TF's
-    to_hash_bucket_fast (FarmHash64, tests/hashing_test.py)."""
+
+    Dual-path like the reference's in-graph layer:
+
+    - numpy arrays (host, BEFORE device transfer — strings live here):
+      hashing.hash_array, bit-identical to TF's to_hash_bucket_fast
+      (FarmHash64, tests/hashing_test.py);
+    - jax arrays/tracers with INTEGER dtype (inside a jitted graph —
+      custom models calling Hash()(ids) in __call__): the in-graph
+      FarmHash64 kernel (ops/hash.py), bit-identical to the host path
+      and exportable (serving artifacts hash raw keys this way).
+    """
 
     def __init__(self, num_buckets, mask_zero=False, vocabulary_path=None,
                  default_value=0, **kwargs):
@@ -144,6 +152,15 @@ class Hash:
         self.default_value = default_value
 
     def __call__(self, x, mask=None, **kwargs):
+        import numpy as _np
+
+        if not isinstance(x, _np.ndarray) and hasattr(x, "dtype") \
+                and jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer) \
+                and self.vocabulary_path is None:
+            from ..ops.hash import device_hash_bucket
+
+            return device_hash_bucket(x, self.num_buckets,
+                                      mask_zero=self.mask_zero)
         from ..hashing import hash_array
 
         return hash_array(x, self.num_buckets, mask_zero=self.mask_zero,

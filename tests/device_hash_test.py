@@ -68,3 +68,21 @@ def test_rejects_bad_inputs():
         device_hash_bucket(np.ones(3, np.float32), 10)
     with pytest.raises(ValueError):
         device_hash_bucket(np.ones(3, np.int32), 1 << 25)
+
+
+def test_hash_layer_in_graph_matches_host():
+    """The Hash LAYER (reference utils.py:41-121 hashes in-graph) routes
+    integer jax arrays through the device kernel INSIDE jit — custom
+    models calling Hash()(ids) in __call__ now work on device, with the
+    exact host-pipeline buckets."""
+    import jax.numpy as jnp
+
+    from deepctr_tpu.layers.utils import Hash
+
+    keys = np.array([[0, 1, 123], [99999, 2147483647, -42]], np.int32)
+    for mask_zero in (False, True):
+        layer = Hash(1000, mask_zero=mask_zero)
+        host = layer(keys)  # numpy in -> host path
+        dev = np.asarray(jax.jit(lambda k: Hash(1000, mask_zero=mask_zero)(k))(
+            jnp.asarray(keys)))
+        np.testing.assert_array_equal(host, dev)
