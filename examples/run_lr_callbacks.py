@@ -50,4 +50,8 @@ if __name__ == "__main__":
                      validation_split=0.2, callbacks=callbacks)
     print("per-epoch lr:", [round(v, 6) for v in hist.history["lr"]])
     print("final model.learning_rate =", model.learning_rate)
-    print("training_log.csv written")
+    import csv, os
+    with open("training_log.csv") as f:
+        n_rows = sum(1 for _ in csv.reader(f)) - 1
+    print("training_log.csv: %d epoch rows" % n_rows)
+    os.remove("training_log.csv")  # keep the examples dir clean
