@@ -221,7 +221,13 @@ def main():
 
     # ---- probe phase: warmup + two timed rounds per batch, second round
     # in REVERSE order (in-process measurements drift faster over time on
-    # this backend; forward+reverse ordering cancels the bias) -----------
+    # this backend; forward+reverse ordering cancels the bias).
+    # CLAUDE.md's "in-process A/Bs LIE" rule concerns multiple MODEL
+    # BUILDS in one process (the second build measures faster regardless
+    # of config); here ONE model serves three input shapes — no second
+    # build exists — and the max-over-both-orders defends against the
+    # residual time drift. The chosen batch is then re-measured with the
+    # full CALLS run, so the headline never rests on a probe sample alone.
     probe = {b: 0.0 for b in candidates}
     for b in candidates:
         ex_s, _ = runner.measure(b, calls=1, warm=True)

@@ -241,13 +241,23 @@ class Estimator:
             step_count += 1
             self._global_step += 1
             hook_call("after_run", None, None)
+            # cadences deliberately avoid flushing a PARTIAL buffer: that
+            # would compile and run the single-step program mid-training
+            # (a remote compile costs 1s-6min) and erode the K-step scan.
+            # Checkpoints land at the next buffer boundary; the logged
+            # loss may lag up to K-1 steps (TF's async logging is no
+            # tighter).
             if (self._save_checkpoints_steps
                     and self._global_step % self._save_checkpoints_steps == 0):
-                flush(buf)  # checkpoint reflects every step counted so far
+                if buf:
+                    self._save_pending = True
+                else:
+                    self._maybe_save()
+            if not buf and getattr(self, "_save_pending", False):
+                self._save_pending = False
                 self._maybe_save()
             if (self._log_step_count_steps
                     and self._global_step % self._log_step_count_steps == 0):
-                flush(buf)
                 import time as _time
 
                 now = _time.time()

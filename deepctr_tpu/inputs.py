@@ -670,16 +670,21 @@ def varlen_embedding_lookup(embedding_dict, sequence_input_dict,
 
 
 def get_varlen_pooling_list(embedding_dict, features,
-                            varlen_sparse_feature_columns, to_list=False):
+                            varlen_sparse_feature_columns, to_list=False,
+                            seq_mask_zero=True):
     """Pooled varlen embeddings, grouped (reference inputs.py:133-158).
 
     Duck-typed first argument, so BOTH reference idioms port verbatim:
 
     - an :class:`EmbeddingTables` container (tables-first convention) —
-      the fast funnel path (fused gather+pool, shared gather cache);
+      the fast funnel path (fused gather+pool, shared gather cache, and
+      the container's own ``seq_mask_zero`` setting);
     - the ``{name: (B, T, E)}`` mapping returned by
       :func:`varlen_embedding_lookup` (the reference convention, where the
-      first arg is a dict of already-looked-up sequence tensors).
+      first arg is a dict of already-looked-up sequence tensors). Pass
+      ``seq_mask_zero=False`` here to mirror a container built with
+      ``create_embedding_matrix(..., seq_mask_zero=False)`` — raw arrays
+      carry no mask, so the setting cannot be inferred.
     """
     if hasattr(embedding_dict, "pool_varlen"):
         return embedding_dict.pool_varlen(
@@ -692,9 +697,11 @@ def get_varlen_pooling_list(embedding_dict, features,
         if fc.length_name is not None:
             mask = sequence_mask(features[fc.length_name], fc.maxlen,
                                  jnp.bool_)
-        else:
+        elif seq_mask_zero:
             # Keras mask_zero parity: id 0 is padding
             mask = features[fc.name].astype(jnp.int32) != 0
+        else:
+            mask = jnp.ones(features[fc.name].shape[:2], jnp.bool_)
         if fc.weight_name is not None:
             seq = weighted_sequence(
                 seq, features[fc.weight_name], mask=mask,

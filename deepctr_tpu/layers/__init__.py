@@ -66,15 +66,32 @@ from .activation import activation_layer  # noqa: F401
 class _CustomObjects(dict):
     """Reference maps custom_objects['tf'] to the tensorflow module; import
     it lazily on first access so `import deepctr_tpu.layers` never pays the
-    multi-second TF import."""
+    multi-second TF import. ``in`` / ``get`` see the key before it
+    materializes; iteration/copies include it only once accessed (or when
+    TF is already imported, in which case it is seated eagerly at no
+    cost)."""
+
+    def _materialize_tf(self):
+        import tensorflow as tf  # deferred; TF ships in this image
+
+        self["tf"] = tf
+        return tf
 
     def __missing__(self, key):
         if key == "tf":
-            import tensorflow as tf  # deferred; TF ships in this image
-
-            self["tf"] = tf
-            return tf
+            return self._materialize_tf()
         raise KeyError(key)
+
+    def __contains__(self, key):
+        return key == "tf" or dict.__contains__(self, key)
+
+    def get(self, key, default=None):
+        if key == "tf" and not dict.__contains__(self, key):
+            try:
+                return self._materialize_tf()
+            except ImportError:
+                return default
+        return dict.get(self, key, default)
 
 
 custom_objects = _CustomObjects({
@@ -117,6 +134,11 @@ custom_objects = _CustomObjects({
     "LayerNormalization": LayerNormalization,
     "Concat": Concat,
 })
+
+import sys as _sys  # noqa: E402
+
+if "tensorflow" in _sys.modules:  # already paid for: seat eagerly
+    custom_objects["tf"] = _sys.modules["tensorflow"]
 
 __all__ = [
     "Dice", "activation_fn", "activation_layer", "custom_objects",

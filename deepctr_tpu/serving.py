@@ -52,17 +52,22 @@ def _hash_spec(model):
     vocabulary-file features stay host-side; the spec carries everything
     the host preprocessor needs (make_preprocessor), including the vocab
     table contents so the serving host needs no CSV file."""
-    from .features import SparseFeat, VarLenSparseFeat
+    from .features import SparseFeat, VarLenSparseFeat, _is_string_dtype
 
     spec = {}
     for fc in model.feature_columns:
         if isinstance(fc, (SparseFeat, VarLenSparseFeat)) and fc.use_hash:
-            string_keys = str(fc.dtype).startswith("str")
+            string_keys = _is_string_dtype(fc.dtype)
             entry = {
                 "num_buckets": int(fc.vocabulary_size),
                 "mask_zero": isinstance(fc, VarLenSparseFeat),
                 "algorithm": "farmhash",
-                "in_graph": fc.vocabulary_path is None and not string_keys,
+                # in-graph only where the device kernel is exact: integer
+                # keys (jax has no int64 inputs without x64 — the host
+                # preprocessor rejects >int32 raw keys at serve time) and
+                # buckets < 2^24 (ops/hash.py _mod_small bound)
+                "in_graph": (fc.vocabulary_path is None and not string_keys
+                             and int(fc.vocabulary_size) < (1 << 24)),
             }
             if fc.vocabulary_path:
                 from .hashing import load_vocabulary
@@ -131,6 +136,17 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     _remat_off = remat_scope(False)
     _remat_off.__enter__()
     hash_cols = _hash_spec(model)
+    # demote to host-side hashing when the example batch shows raw keys
+    # beyond int32 (jax has no int64 inputs without x64; an int32 wrap
+    # would hash a different decimal string than training did)
+    for name, e in hash_cols.items():
+        if not e["in_graph"] or name not in example_batch:
+            continue
+        v = np.asarray(example_batch[name])
+        if v.dtype.kind in ("i", "u") and v.size and (
+                v.astype(np.int64).max() > np.iinfo(np.int32).max
+                or v.astype(np.int64).min() < np.iinfo(np.int32).min):
+            e["in_graph"] = False
     in_graph_cols = ({k: v for k, v in hash_cols.items() if v["in_graph"]}
                      if hash_in_graph else {})
     if not hash_in_graph:
@@ -238,6 +254,17 @@ def make_preprocessor(spec_or_path):
                             "feature '%s' was exported with in-graph "
                             "hashing (integer keys) but received "
                             "non-numeric strings" % name)
+                arr = arr.astype(np.int64)
+                if arr.size and (arr.max() > np.iinfo(np.int32).max
+                                 or arr.min() < np.iinfo(np.int32).min):
+                    # int32 wrap would hash a DIFFERENT decimal string
+                    # than training did — fail loudly, never silently
+                    raise ValueError(
+                        "feature '%s': raw keys exceed int32 (jax has no "
+                        "int64 inputs without x64), so the in-graph hash "
+                        "cannot reproduce training buckets; re-export "
+                        "with hash_in_graph=False to hash 64-bit keys on "
+                        "the host" % name)
                 out[name] = arr.astype(np.int32)
             elif "vocabulary" in e:
                 s = hashing._stringify(arr)
@@ -300,12 +327,14 @@ def predict_with_artifact(path, batch, feature_columns):
         # artifacts must not thrash the cache)
         for k in [k for k in _ARTIFACT_CACHE if k[0] == abspath]:
             del _ARTIFACT_CACHE[k]
-        serve = _ARTIFACT_CACHE[key] = load_stablehlo(path)
-    spec_path = path + ".hashspec.json"
-    if os.path.exists(spec_path):
+        spec_path = path + ".hashspec.json"
+        prep = (make_preprocessor(spec_path)
+                if os.path.exists(spec_path) else None)
+        serve = _ARTIFACT_CACHE[key] = (load_stablehlo(path), prep)
+    serve, prep = serve
+    if prep is not None:
         # raw-key artifact: host preprocessor handles string/vocab
         # features, in-graph features stay raw ints, nothing double-hashes
-        prep = make_preprocessor(spec_path)
         xc = canonicalize_batch(prep(batch), feature_columns,
                                 skip_hash=prep.skip_hash)
     else:

@@ -162,7 +162,8 @@ class CTRModel:
         # runtime-mutable LR (Keras optimizer.learning_rate parity): the
         # scale travels in opt_state so LR callbacks never force a retrace
         self.optimizer = opt_lib.MutableLR(
-            _resolved, opt_lib.base_learning_rate_of(optimizer, _resolved))
+            _resolved, opt_lib.base_learning_rate_of(optimizer, _resolved),
+            lr_scale_unsafe=opt_lib.lr_scale_unsafe_of(optimizer, _resolved))
         self._pending_lr_scale = 1.0
         if loss is None:
             loss = "binary_crossentropy" if self.task == "binary" else "mse"
@@ -465,6 +466,30 @@ class CTRModel:
     @learning_rate.setter
     def learning_rate(self, value: float):
         base = getattr(self.optimizer, "base_learning_rate", None)
+        if base is None and not getattr(self, "_warned_lr_base", False):
+            # absolute-LR schedules need the base rate; without it the
+            # value is a MULTIPLIER — an absolute schedule like 1e-3
+            # would silently collapse the LR 1000x
+            import warnings
+
+            warnings.warn(
+                "the compiled optimizer's base learning rate is unknown "
+                "(custom optax transform); model.learning_rate values are "
+                "interpreted as MULTIPLIERS of the configured rate. For "
+                "absolute-LR schedules, name the optimizer ('adam', ...) "
+                "or set optimizer.base_learning_rate.", stacklevel=2)
+            self._warned_lr_base = True
+        if getattr(self.optimizer, "lr_scale_unsafe", False) and \
+                not getattr(self, "_warned_lr_unsafe", False):
+            import warnings
+
+            warnings.warn(
+                "this optimizer's update is not linear in the learning "
+                "rate (FTRL-proximal); runtime LR scaling changes the "
+                "step size but NOT the accumulator trajectory — prefer "
+                "recompiling with the new rate for exact FTRL semantics.",
+                stacklevel=2)
+            self._warned_lr_unsafe = True
         self.lr_scale = float(value) / (base if base is not None else 1.0)
 
     def _is_multiprocess(self) -> bool:

@@ -251,9 +251,17 @@ class MutableLR:
     model-level property degrades to multiplier semantics.
     """
 
-    def __init__(self, inner, base_learning_rate=None):
+    def __init__(self, inner, base_learning_rate=None,
+                 lr_scale_unsafe=False):
         self.inner = inner
         self.base_learning_rate = base_learning_rate
+        # FTRL-proximal's update is NOT linear in lr (lr sits inside the
+        # sigma and denominator terms); scaling its updates is not
+        # equivalent to FTRL at the scaled rate — the model warns on use.
+        # Set via lr_scale_unsafe_of at compile; custom FTRL compositions
+        # inside plain GradientTransformations go undetected.
+        self.lr_scale_unsafe = lr_scale_unsafe or getattr(
+            inner, "lr_scale_unsafe", False)
         if getattr(inner, "fused_apply", None) is not None:
             self.fused_apply = self._fused_apply
 
@@ -294,6 +302,18 @@ def base_learning_rate_of(opt_spec, resolved):
     if isinstance(opt_spec, str):
         return _NAMED_BASE_LR.get(opt_spec)
     return getattr(resolved, "base_learning_rate", None)
+
+
+def lr_scale_unsafe_of(opt_spec, resolved):
+    """True when runtime LR scaling is not equivalent to the optimizer at
+    the scaled rate (FTRL-proximal: lr sits inside sigma and the
+    denominator, so the update is not linear in it). Detectable for the
+    named spec and for objects carrying ``lr_scale_unsafe``; a raw
+    GradientTransformation (frozen NamedTuple) cannot carry the flag, so
+    custom FTRL compositions go undetected — documented in MutableLR."""
+    if isinstance(opt_spec, str):
+        return opt_spec.lower() == "ftrl"
+    return bool(getattr(resolved, "lr_scale_unsafe", False))
 
 
 _NAMED = {

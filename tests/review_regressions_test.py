@@ -227,3 +227,130 @@ def test_sparse_embedding_updates_rejects_unknown_strings():
     with pytest.raises(ValueError, match="auto"):
         m.compile("adam", "binary_crossentropy",
                   sparse_embedding_updates="off")
+
+
+def test_large_vocab_hash_export_falls_back_to_host(tmp_path):
+    """use_hash with vocabulary_size >= 2^24 cannot hash in-graph
+    (ops/hash.py bound) — export must demote to host-side hashing, not
+    crash (round-4 review finding)."""
+    import numpy as np
+
+    from deepctr_tpu import DenseFeat, SparseFeat, serving
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.RandomState(0)
+    cols = [SparseFeat("big", 1 << 24, 4, use_hash=True),
+            DenseFeat("d0", 1)]
+    x = {"big": rng.randint(0, 10**9, 32), "d0": rng.rand(32).astype("f4")}
+    y = rng.randint(0, 2, 32).astype("f4")
+    m = DeepFM(cols, cols, dnn_hidden_units=(4,))
+    m.compile("adam", "binary_crossentropy")
+    m.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    path = str(tmp_path / "big.shlo")
+    serving.export_stablehlo(m, path, example_batch=x)
+    import json
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert not spec["big"]["in_graph"]
+    got = serving.predict_with_artifact(path, x, cols)
+    want = m.predict(x)
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_int64_keys_demote_or_raise(tmp_path):
+    """Raw keys beyond int32 cannot hash in-graph (jax has no int64
+    inputs): export demotes when the example batch shows them; a
+    preprocessor hitting them at serve time raises with the remedy."""
+    import numpy as np
+    import pytest
+
+    from deepctr_tpu import DenseFeat, SparseFeat, serving
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.RandomState(0)
+    cols = [SparseFeat("h", 1000, 4, use_hash=True), DenseFeat("d0", 1)]
+    big_keys = rng.randint(0, 2**62, 32).astype(np.int64)
+    x = {"h": big_keys, "d0": rng.rand(32).astype("f4")}
+    y = rng.randint(0, 2, 32).astype("f4")
+    m = DeepFM(cols, cols, dnn_hidden_units=(4,))
+    m.compile("adam", "binary_crossentropy")
+    m.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    path = str(tmp_path / "i64.shlo")
+    serving.export_stablehlo(m, path, example_batch=x)
+    import json
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert not spec["h"]["in_graph"]  # demoted at export
+    got = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got.reshape(-1), m.predict(x).reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+    # an in-graph spec meeting int64 keys at serve time must refuse
+    prep = serving.make_preprocessor(
+        {"features": {"h": {"num_buckets": 1000, "mask_zero": False,
+                            "algorithm": "farmhash", "in_graph": True}}})
+    with pytest.raises(ValueError, match="int32"):
+        prep({"h": big_keys})
+
+
+def test_custom_objects_tf_membership():
+    from deepctr_tpu.layers import custom_objects
+
+    assert "tf" in custom_objects
+    assert custom_objects.get("tf") is not None
+
+
+def test_varlen_pooling_dict_path_seq_mask_zero_off():
+    """seq_mask_zero=False parity between the container path and the
+    dict path (round-4 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import flax.linen as nn
+
+    from deepctr_tpu import SparseFeat, VarLenSparseFeat
+    from deepctr_tpu.inputs import (create_embedding_matrix,
+                                    get_varlen_pooling_list,
+                                    varlen_embedding_lookup)
+
+    cols = (VarLenSparseFeat(SparseFeat("v", 20, 4), maxlen=3),)
+    feats = {"v": jnp.array([[1, 0, 2], [3, 0, 0]])}
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, features):
+            tables = create_embedding_matrix(cols, l2_reg=0.0,
+                                             seq_mask_zero=False)
+            seq = varlen_embedding_lookup(tables, features, cols)
+            via_dict = get_varlen_pooling_list(seq, features, cols,
+                                               to_list=True,
+                                               seq_mask_zero=False)
+            via_tables = get_varlen_pooling_list(tables, features, cols,
+                                                 to_list=True)
+            return via_dict[0], via_tables[0]
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), feats)
+    a, b = m.apply(params, feats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_ftrl_lr_mutation_warns():
+    import warnings
+
+    import numpy as np
+
+    from deepctr_tpu import DenseFeat, SparseFeat
+    from deepctr_tpu.models import WDL
+
+    rng = np.random.RandomState(0)
+    cols = [SparseFeat("s", 10, 4), DenseFeat("d", 1)]
+    x = {"s": rng.randint(0, 10, 16), "d": rng.rand(16).astype("f4")}
+    y = rng.randint(0, 2, 16).astype("f4")
+    m = WDL(cols, cols, dnn_hidden_units=(4,))
+    m.compile("ftrl", "binary_crossentropy")
+    m.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m.learning_rate = m.learning_rate * 0.5
+    assert any("not linear" in str(w.message) for w in rec)
