@@ -252,6 +252,94 @@ def _farmhash_le16(s, n):
     return _where(ge8, h8, _where(ge4, h4, h1))
 
 
+def _digits64(lo, hi):
+    """Decimal byte buffer (…, 21) + length for int64 keys given as two
+    int32 planes (lo = bits 0..31, hi = bits 32..63). Digit extraction is
+    long division by 10 over the 16-bit limbs (every intermediate
+    r*2^16 + limb < 2^20); up to 20 digits plus an optional '-'."""
+    lo = jnp.asarray(lo).astype(jnp.uint32)
+    hi = jnp.asarray(hi).astype(jnp.uint32)
+    neg = (hi >> 31).astype(jnp.bool_)
+    # |v| via 64-bit two's complement on the limbs
+    v = (lo & _M16, lo >> 16, hi & _M16, hi >> 16)
+    nv = _add(tuple((~x) & _M16 for x in v), _const(1))
+    v = _where(neg, nv, v)
+
+    L = 21
+    digs = []  # least-significant first
+    work = v
+    for _ in range(20):
+        # divide work by 10: long division MSB -> LSB over 4 limbs
+        q = []
+        r = work[0] * np.uint32(0)
+        for limb in (work[3], work[2], work[1], work[0]):
+            cur = (r << np.uint32(16)) | limb
+            q.append(cur // np.uint32(10))
+            r = cur % np.uint32(10)
+        digs.append(r)
+        work = (q[3], q[2], q[1], q[0])
+    nz = [d > 0 for d in digs]
+    ndig = jnp.ones(lo.shape, jnp.uint32)
+    run = lo * np.uint32(0) + np.uint32(1)
+    # number of digits = index of the most significant nonzero + 1
+    for k in range(1, 20):
+        ndig = jnp.maximum(ndig, jnp.where(nz[k], np.uint32(k + 1),
+                                           np.uint32(0)))
+    del run
+    n = ndig + neg.astype(jnp.uint32)
+    buf = []
+    digs_arr = jnp.stack(digs, axis=-1)  # (…, 20) LSB-first
+    for pos in range(L):
+        j = np.uint32(pos) - neg.astype(jnp.uint32)  # digit index, MSB-first
+        src = ndig - np.uint32(1) - j  # index into LSB-first digits
+        src_c = jnp.clip(src.astype(jnp.int32), 0, 19)
+        d = jnp.take_along_axis(digs_arr, src_c[..., None], axis=-1)[..., 0]
+        byte = d + np.uint32(ord("0"))
+        byte = jnp.where((pos == 0) & neg, np.uint32(ord("-")), byte)
+        valid = np.uint32(pos) < n
+        buf.append(jnp.where(valid, byte, np.uint32(0)))
+    return jnp.stack(buf, axis=-1), n
+
+
+def _farmhash_17to32(s, n):
+    """FarmHash64 for 17 <= n <= 32 bytes (int64 decimals reach 20)."""
+    k1, k2 = _const(_K1), _const(_K2)
+    n_u64 = _from_u32(n)
+    mul = _add(k2, _shl(n_u64, 1))
+    a = _mul(_bytes_to_u64(_load_bytes(s, n * 0, 8)), k1)
+    b = _bytes_to_u64(_load_bytes(s, n * 0 + np.uint32(8), 8))
+    c = _mul(_bytes_to_u64(_load_bytes(s, n - np.uint32(8), 8)), mul)
+    d = _mul(_bytes_to_u64(_load_bytes(s, n - np.uint32(16), 8)), k2)
+    return _h16(_add(_add(_rot(_add(a, b), 43), _rot(c, 30)), d),
+                _add(_add(a, _rot(_add(b, k2), 18)), c), mul)
+
+
+def device_hash_bucket_u64(lo, hi, num_buckets, mask_zero=False,
+                           algorithm="farmhash"):
+    """64-BIT-key variant of :func:`device_hash_bucket`: the key arrives
+    as two int32 planes (lo = bits 0..31, hi = bits 32..63 — the host
+    split is ``v & 0xFFFFFFFF`` / ``v >> 32`` of the int64). Buckets are
+    bit-identical to the host pipeline hashing the int64's decimal
+    string; used by raw-key serving artifacts exported with
+    ``hash_in_graph="wide"`` (serving.py)."""
+    s, n = _digits64(lo, hi)
+    if algorithm == "farmhash":
+        h_short = _farmhash_le16(s, n)
+        h_long = _farmhash_17to32(s, n)
+        h = _where(n > np.uint32(16), h_long, h_short)
+    elif algorithm == "fnv":
+        h = _fnv1a(s, n)
+    else:
+        raise ValueError("algorithm must be 'farmhash' or 'fnv'")
+    buckets = num_buckets - 1 if mask_zero else num_buckets
+    out = _mod_small(h, buckets).astype(jnp.int32)
+    if mask_zero:
+        is_zero = (jnp.asarray(lo).astype(jnp.int32) == 0) & (
+            jnp.asarray(hi).astype(jnp.int32) == 0)
+        out = (out + 1) * (~is_zero).astype(jnp.int32)
+    return out
+
+
 def _fnv1a(s, n):
     h = _const(_FNV_OFFSET)
     prime = _const(_FNV_PRIME)

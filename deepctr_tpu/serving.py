@@ -79,14 +79,25 @@ def _hash_spec(model):
 
 
 def _device_hash_batch(batch, in_graph_cols):
-    """Apply in-graph hashing to the raw-key features of a traced batch."""
-    from .ops.hash import device_hash_bucket
+    """Apply in-graph hashing to the raw-key features of a traced batch.
+
+    Wide entries carry the 64-bit key as an (B, 2) int32 [lo, hi] plane
+    pair (jax accepts no int64 inputs without x64); narrow entries are
+    plain int32 keys with the canonical feature shape."""
+    from .ops.hash import device_hash_bucket, device_hash_bucket_u64
 
     batch = dict(batch)
     for name, e in in_graph_cols.items():
-        batch[name] = device_hash_bucket(
-            batch[name], e["num_buckets"], mask_zero=e["mask_zero"],
-            algorithm=e["algorithm"])
+        if e.get("wide"):
+            v = batch[name]
+            ids = device_hash_bucket_u64(
+                v[..., 0], v[..., 1], e["num_buckets"],
+                mask_zero=e["mask_zero"], algorithm=e["algorithm"])
+            batch[name] = ids[..., None]  # canonical (B, 1)
+        else:
+            batch[name] = device_hash_bucket(
+                batch[name], e["num_buckets"], mask_zero=e["mask_zero"],
+                algorithm=e["algorithm"])
     return batch
 
 
@@ -136,11 +147,22 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     _remat_off = remat_scope(False)
     _remat_off.__enter__()
     hash_cols = _hash_spec(model)
+    if hash_in_graph == "wide":
+        # 64-bit-capable artifacts: each in-graph SCALAR hash feature
+        # takes an (B, 2) int32 [lo, hi] plane pair and device-hashes the
+        # full int64 decimal string (ops/hash.py device_hash_bucket_u64).
+        # Varlen features keep the narrow contract (their wide planes
+        # would be rank 3, which canonicalize_batch rejects) and demote
+        # below if 64-bit keys appear.
+        for name, e in hash_cols.items():
+            if e["in_graph"] and not e["mask_zero"]:
+                e["wide"] = True
     # demote to host-side hashing when the example batch shows raw keys
-    # beyond int32 (jax has no int64 inputs without x64; an int32 wrap
-    # would hash a different decimal string than training did)
+    # beyond int32 and the feature is not wide (jax has no int64 inputs
+    # without x64; an int32 wrap would hash a different decimal string
+    # than training did)
     for name, e in hash_cols.items():
-        if not e["in_graph"] or name not in example_batch:
+        if not e["in_graph"] or e.get("wide") or name not in example_batch:
             continue
         v = np.asarray(example_batch[name])
         if v.dtype.kind in ("i", "u") and v.size and (
@@ -164,6 +186,11 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
         else:
             spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                     for k, v in xc.items()}
+        for name, e in in_graph_cols.items():
+            if e.get("wide"):
+                # wide features enter as (B, 2) int32 [lo, hi] planes
+                lead = spec[name].shape[:1]
+                spec[name] = jax.ShapeDtypeStruct(lead + (2,), np.int32)
 
         if bake_weights:
             serve = model.export_inference_fn()
@@ -255,6 +282,15 @@ def make_preprocessor(spec_or_path):
                             "hashing (integer keys) but received "
                             "non-numeric strings" % name)
                 arr = arr.astype(np.int64)
+                if e.get("wide"):
+                    # 64-bit-capable artifact: split into (B, 2) int32
+                    # [lo, hi] planes the in-graph u64 kernel consumes
+                    flat = arr.reshape(len(arr), -1)[:, 0]
+                    out[name] = np.stack(
+                        [(flat & 0xFFFFFFFF).astype(np.uint32),
+                         ((flat >> 32) & 0xFFFFFFFF).astype(np.uint32)],
+                        axis=-1).astype(np.int64).astype(np.int32)
+                    continue
                 if arr.size and (arr.max() > np.iinfo(np.int32).max
                                  or arr.min() < np.iinfo(np.int32).min):
                     # int32 wrap would hash a DIFFERENT decimal string

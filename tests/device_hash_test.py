@@ -86,3 +86,28 @@ def test_hash_layer_in_graph_matches_host():
         dev = np.asarray(jax.jit(lambda k: Hash(1000, mask_zero=mask_zero)(k))(
             jnp.asarray(keys)))
         np.testing.assert_array_equal(host, dev)
+
+
+@pytest.mark.parametrize("algorithm", ["farmhash", "fnv"])
+def test_u64_bucket_parity(algorithm):
+    """64-bit keys as [lo, hi] int32 planes: bit-parity with the host
+    hashing the int64's decimal string (incl. INT64 extremes and the
+    17-20-digit FarmHash tier)."""
+    from deepctr_tpu.ops.hash import device_hash_bucket_u64
+
+    rng = np.random.RandomState(0)
+    keys = np.concatenate([
+        np.array([0, 1, 9, 2**31 - 1, 2**31, 2**32, 10**10, 10**15,
+                  10**18, 2**63 - 1, -1, -10**12, -(2**63)], np.int64),
+        rng.randint(-(2**63), 2**63 - 1, 2048, dtype=np.int64)])
+    lo = (keys & 0xFFFFFFFF).astype(np.uint32).astype(
+        np.int64).astype(np.int32)
+    hi = ((keys >> 32) & 0xFFFFFFFF).astype(np.uint32).astype(
+        np.int64).astype(np.int32)
+    for mz in (False, True):
+        host = hashing.hash_array(keys, 100_000, mask_zero=mz,
+                                  algorithm=algorithm)
+        dev = np.asarray(jax.jit(
+            lambda l, h: device_hash_bucket_u64(
+                l, h, 100_000, mask_zero=mz, algorithm=algorithm))(lo, hi))
+        np.testing.assert_array_equal(host, dev)

@@ -287,3 +287,42 @@ def test_hash_in_graph_disabled(tmp_path):
     got = serving.predict_with_artifact(path, x, cols)
     np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_wide_in_graph_hash_64bit_keys(tmp_path):
+    """hash_in_graph="wide": the artifact device-hashes FULL 64-bit raw
+    keys via (B, 2) int32 [lo, hi] planes — no host hashing, exact
+    training-time buckets (ops/hash.py device_hash_bucket_u64)."""
+    import json
+
+    from deepctr_tpu import VarLenSparseFeat
+
+    rng = np.random.RandomState(0)
+    cols = [SparseFeat("h0", 50, 4, use_hash=True),
+            SparseFeat("s1", 20, 4), DenseFeat("d0", 1)]
+    keys = rng.randint(-(2**62), 2**62, 32, dtype=np.int64)
+    x = {"h0": keys, "s1": rng.randint(0, 20, 32),
+         "d0": rng.rand(32).astype("float32")}
+    y = rng.randint(0, 2, 32).astype("float32")
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=7)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=16, epochs=1, verbose=0)
+    want = model.predict(x)  # host-hashes the int64 decimals
+
+    path = str(tmp_path / "wide.shlo")
+    serving.export_stablehlo(model, path, example_batch=x,
+                             hash_in_graph="wide")
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert spec["h0"]["in_graph"] and spec["h0"]["wide"]
+
+    got = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+    # polymorphic batch still works through the wide planes
+    prep = serving.make_preprocessor(path + ".hashspec.json")
+    x7 = {k: v[:7] for k, v in x.items()}
+    xc = canonicalize_batch(prep(x7), cols, skip_hash=prep.skip_hash)
+    out = np.asarray(serving.load_stablehlo(path)(xc))
+    np.testing.assert_allclose(out.reshape(-1), want.reshape(-1)[:7],
+                               rtol=1e-5, atol=1e-6)
