@@ -34,6 +34,10 @@ from .normalization import LayerNormalization
 
 # Reference export parity (reference sequence.py namespace):
 from .utils import div, reduce_max, reduce_mean, reduce_sum, softmax  # noqa: F401
+# (the reference sequence.py imports its RNN machinery from deepctr.contrib,
+# leaking these names into its namespace — mirror that import path)
+from ..contrib.rnn import dynamic_rnn  # noqa: F401
+from ..contrib.utils import QAAttGRUCell, VecAttGRUCell  # noqa: F401
 
 
 

@@ -49,6 +49,16 @@ AST_MODULES = {
         "/root/reference/deepctr/estimator/feature_column.py",
 }
 
+# The contrib modules import TF1 runtime internals (RNNCell, variable_scope,
+# TensorArray machinery) wholesale; the product API is exactly the names
+# DEFINED there (QAAttGRUCell/VecAttGRUCell/dynamic_rnn), so snapshot
+# def/class names only — imports are TF plumbing, not contrib surface.
+AST_DEFS_ONLY = {
+    "deepctr.contrib.utils": "/root/reference/deepctr/contrib/utils.py",
+    "deepctr.contrib.rnn": "/root/reference/deepctr/contrib/rnn.py",
+    "deepctr.contrib.rnn_v2": "/root/reference/deepctr/contrib/rnn_v2.py",
+}
+
 
 def public_names(mod):
     if hasattr(mod, "__all__"):
@@ -65,7 +75,7 @@ def public_names(mod):
     return sorted(names)
 
 
-def ast_public_names(path):
+def ast_public_names(path, defs_only=False):
     import ast
 
     tree = ast.parse(open(path).read())
@@ -74,7 +84,7 @@ def ast_public_names(path):
         if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
             if not node.name.startswith("_"):
                 names.add(node.name)
-        elif isinstance(node, ast.ImportFrom):
+        elif isinstance(node, ast.ImportFrom) and not defs_only:
             for alias in node.names:
                 n = alias.asname or alias.name
                 if not n.startswith("_") and n != "*":
@@ -89,6 +99,8 @@ def main():
         out[name] = public_names(mod)
     for name, path in AST_MODULES.items():
         out[name] = ast_public_names(path)
+    for name, path in AST_DEFS_ONLY.items():
+        out[name] = ast_public_names(path, defs_only=True)
     path = os.path.join(os.path.dirname(__file__), "..", "tests",
                         "ref_exports.json")
     with open(path, "w") as f:
