@@ -1,8 +1,26 @@
 """Training callbacks (Keras-fit parity: the reference trains via
-``model.fit`` and users rely on EarlyStopping / ModelCheckpoint).
+``model.fit`` and users rely on EarlyStopping / ModelCheckpoint, and the
+reference FAQ points users at the full tf.keras callback family incl.
+batch hooks — /root/reference/docs/source/FAQ.md:26-37).
 
 Protocol: ``on_train_begin(model)``, ``on_epoch_end(model, epoch, logs)``
 returning True to stop training, ``on_train_end(model)``.
+
+Per-batch hooks and the ``steps_per_execution`` cadence
+-------------------------------------------------------
+``on_train_batch_begin(model, batch)`` / ``on_train_batch_end(model,
+batch, logs)`` fire once per COMPILED EXECUTION, not once per optimizer
+step: with ``fit(steps_per_execution=K)`` the K scanned steps run inside
+one XLA call, so the hooks fire on the scan boundary with the
+accumulated window in ``logs`` — ``loss`` (size-weighted mean over the
+window), ``size`` (examples in the window), ``num_steps`` (K; 1 when
+unscanned) — and ``batch`` is the index of the LAST batch in the window.
+``on_train_batch_end`` may return True to stop training (checked at the
+boundary, like Keras ``model.stop_training``).
+
+fit() only materializes per-step losses on the host (a device sync per
+execution) when some callback actually overrides a batch hook — plain
+epoch-level callbacks keep the fully-async dispatch pipeline.
 """
 from __future__ import annotations
 
@@ -19,8 +37,29 @@ class Callback:
     def on_epoch_end(self, model, epoch: int, logs: dict) -> Optional[bool]:
         return None
 
+    def on_train_batch_begin(self, model, batch: int):
+        pass
+
+    def on_train_batch_end(self, model, batch: int,
+                           logs: dict) -> Optional[bool]:
+        return None
+
     def on_train_end(self, model):
         pass
+
+
+def overrides_batch_hooks(cb) -> bool:
+    """True if ``cb`` implements either per-batch hook (fit() uses this to
+    decide whether per-execution host syncs are needed at all). A callback
+    that overrides the hooks but is configured batch-off (e.g.
+    ``CSVLogger(log_batches=False)``) sets ``wants_batch_hooks = False``
+    to opt back out of the per-execution sync."""
+    wants = getattr(cb, "wants_batch_hooks", None)
+    if wants is not None:
+        return bool(wants)
+    t = type(cb)
+    return (t.on_train_batch_begin is not Callback.on_train_batch_begin
+            or t.on_train_batch_end is not Callback.on_train_batch_end)
 
 
 class EarlyStopping(Callback):
@@ -198,15 +237,26 @@ class ReduceLROnPlateau(Callback):
 
 
 class CSVLogger(Callback):
-    """Stream epoch logs to a CSV file (Keras parity)."""
+    """Stream epoch logs to a CSV file (Keras parity).
 
-    def __init__(self, filename, separator=",", append=False):
+    ``log_batches=True`` additionally writes one row per compiled
+    execution (see the per-batch cadence note in the module docstring) to
+    the sibling file ``filename + ".batches"`` with columns
+    epoch,batch,loss,size,num_steps — a separate file keeps the epoch CSV
+    schema exactly Keras-compatible."""
+
+    def __init__(self, filename, separator=",", append=False,
+                 log_batches=False):
         self.filename = str(filename)
         self.sep = separator
         self.append = append
+        self.log_batches = log_batches
+        self.wants_batch_hooks = log_batches
         self._file = None
         self._writer = None
         self._keys = None
+        self._epoch = 0
+        self._bfile = None
 
     def on_train_begin(self, model):
         import io
@@ -215,6 +265,24 @@ class CSVLogger(Callback):
         self._file = io.open(self.filename, mode, newline="")
         self._writer = None
         self._keys = None
+        self._epoch = 0
+        self._bfile = None
+        if self.log_batches:
+            self._bfile = io.open(self.filename + ".batches", mode,
+                                  newline="")
+            if not (self.append and self._bfile.tell() > 0):
+                self._bfile.write(self.sep.join(
+                    ["epoch", "batch", "loss", "size", "num_steps"]) + "\n")
+
+    def on_epoch_begin(self, model, epoch):
+        self._epoch = epoch
+
+    def on_train_batch_end(self, model, batch, logs):
+        if self._bfile is not None:
+            self._bfile.write(self.sep.join(str(v) for v in [
+                self._epoch, batch, logs.get("loss", ""),
+                logs.get("size", ""), logs.get("num_steps", "")]) + "\n")
+        return None
 
     def on_epoch_end(self, model, epoch, logs):
         import csv
@@ -236,18 +304,31 @@ class CSVLogger(Callback):
         if self._file is not None:
             self._file.close()
             self._file = None
+        if self._bfile is not None:
+            self._bfile.close()
+            self._bfile = None
 
 
 class TensorBoard(Callback):
     """Per-epoch scalar logging readable by TensorBoard (Keras parity for
     the scalars tab). Writes through tf.summary when TensorFlow is
     importable; otherwise falls back to a ``scalars.jsonl`` file in
-    ``log_dir`` (same payload, greppable)."""
+    ``log_dir`` (same payload, greppable).
 
-    def __init__(self, log_dir="./logs"):
+    ``update_freq``: "epoch" (default), "batch", or an int N — "batch"
+    logs ``batch_loss`` at every compiled execution, N at most every N
+    optimizer steps (hooks fire on scan boundaries; see module
+    docstring). The step axis counts optimizer steps, so curves line up
+    across different ``steps_per_execution`` settings."""
+
+    def __init__(self, log_dir="./logs", update_freq="epoch"):
         self.log_dir = str(log_dir)
+        self.update_freq = update_freq
+        self.wants_batch_hooks = update_freq != "epoch"
         self._writer = None
         self._jsonl = None
+        self._step = 0
+        self._last_logged = 0
 
     def on_train_begin(self, model):
         import os
@@ -262,6 +343,34 @@ class TensorBoard(Callback):
 
             self._jsonl = io.open(
                 os.path.join(self.log_dir, "scalars.jsonl"), "a")
+
+    def _write_scalars(self, payload, step):
+        if self._writer is not None:
+            import tensorflow as tf
+
+            with self._writer.as_default():
+                for k, v in payload.items():
+                    tf.summary.scalar(k, float(v), step=step)
+            self._writer.flush()
+        elif self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps(
+                {"step": step, **{k: float(v) for k, v in payload.items()}}
+            ) + "\n")
+            self._jsonl.flush()
+
+    def on_train_batch_end(self, model, batch, logs):
+        self._step += logs.get("num_steps", 1)
+        if self.update_freq == "epoch":
+            return None
+        every = 1 if self.update_freq == "batch" else int(self.update_freq)
+        if self._step - self._last_logged >= every:
+            self._last_logged = self._step
+            self._write_scalars(
+                {"batch_" + k: v for k, v in logs.items()
+                 if k != "num_steps"}, self._step)
+        return None
 
     def on_epoch_end(self, model, epoch, logs):
         if self._writer is not None:

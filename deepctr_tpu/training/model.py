@@ -841,6 +841,21 @@ class CTRModel:
         callbacks = list(callbacks or [])
         for cb in callbacks:
             cb.on_train_begin(self)
+        # per-batch hooks cost one device->host sync per compiled execution;
+        # only pay it when a callback actually overrides a batch hook
+        from .callbacks import overrides_batch_hooks
+        batch_cbs = [cb for cb in callbacks if overrides_batch_hooks(cb)]
+
+        def _batch_begin(idx):
+            for cb in batch_cbs:
+                cb.on_train_batch_begin(self, idx)
+
+        def _batch_end(idx, logs_b):
+            stop_b = False
+            for cb in batch_cbs:
+                if cb.on_train_batch_end(self, idx, logs_b):
+                    stop_b = True
+            return stop_b
 
         profiling = False
         np_rng = np.random.RandomState(self.seed)
@@ -854,7 +869,7 @@ class CTRModel:
             step_losses, step_weights = [], []
             buf = []
 
-            def flush_multi():
+            def flush_multi(last_idx=None):
                 nonlocal buf
                 xK = {k: np.stack([b[0][k] for b in buf])
                       for k in buf[0][0]}
@@ -868,6 +883,8 @@ class CTRModel:
 
                     xK, yK, wK = make_global_batch_stacked(
                         self.mesh, xK, yK, wK)
+                if batch_cbs and last_idx is not None:
+                    _batch_begin(last_idx)
                 self._rng, mrng = jax.random.split(self._rng)
                 self.state, losses, _ = self._multi_train_step(
                     self.state, xK, yK, wK, mrng
@@ -875,7 +892,22 @@ class CTRModel:
                 for i, b in enumerate(buf):
                     step_losses.append(losses[i])
                     step_weights.append(b[3])
+                stop_b = False
+                if batch_cbs and last_idx is not None:
+                    # scan-boundary cadence: one hook per compiled execution
+                    # with the window's accumulated logs (see callbacks.py)
+                    sizes = [float(b[3]) for b in buf]
+                    lv = [float(l) for l in step_losses[-len(buf):]]
+                    wsum = sum(sizes)
+                    logs_b = {
+                        "loss": sum(l * s for l, s in zip(lv, sizes))
+                                / max(wsum, 1.0),
+                        "size": wsum,
+                        "num_steps": len(buf),
+                    }
+                    stop_b = _batch_end(last_idx, logs_b)
                 buf = []
+                return stop_b
 
             if stream is not None:
                 batches = stream.epoch(steps=epoch_steps)
@@ -887,6 +919,8 @@ class CTRModel:
 
                     batches = itertools.islice(batches, epoch_steps)
             epoch_saw_data = False
+            epoch_batch = 0
+            stop_batch = False
             for xb, yb, wb, n_real in batches:
                 epoch_saw_data = True
                 if profile_dir is not None:
@@ -901,9 +935,14 @@ class CTRModel:
                 if spe > 1:
                     buf.append((xb, yb, wb, n_real))
                     if len(buf) == spe:
-                        flush_multi()
+                        stop_batch = flush_multi(epoch_batch)
                     global_step += 1
+                    epoch_batch += 1
+                    if stop_batch:
+                        break
                     continue
+                if batch_cbs:
+                    _batch_begin(epoch_batch)
                 self._rng, step_rng = jax.random.split(self._rng)
                 if self._is_multiprocess():
                     # xb/yb/wb are THIS process's local shard; assemble the
@@ -917,14 +956,34 @@ class CTRModel:
                 step_losses.append(loss)
                 step_weights.append(n_real)
                 global_step += 1
-            # trailing batches (< steps_per_execution of them) run singly
-            for xb, yb, wb, n_real in buf:
+                if batch_cbs:
+                    stop_batch = _batch_end(epoch_batch, {
+                        "loss": float(loss), "size": float(n_real),
+                        "num_steps": 1})
+                epoch_batch += 1
+                if stop_batch:
+                    break
+            # trailing batches (< steps_per_execution of them) run singly;
+            # skipped when a batch callback already requested a stop.
+            # They were already counted when buffered — rewind so the batch
+            # hooks see each one's original index.
+            epoch_batch -= len(buf)
+            for xb, yb, wb, n_real in (buf if not stop_batch else []):
+                if batch_cbs:
+                    _batch_begin(epoch_batch)
                 self._rng, step_rng = jax.random.split(self._rng)
                 self.state, loss, task_loss = self._train_step(
                     self.state, xb, yb, wb, step_rng
                 )
                 step_losses.append(loss)
                 step_weights.append(n_real)
+                if batch_cbs:
+                    stop_batch = _batch_end(epoch_batch, {
+                        "loss": float(loss), "size": float(n_real),
+                        "num_steps": 1})
+                epoch_batch += 1
+                if stop_batch:
+                    break
             if stream is not None and not epoch_saw_data:
                 break  # plain iterator ran dry on an epoch boundary
             weight_sum = float(sum(step_weights))
@@ -950,7 +1009,7 @@ class CTRModel:
             # after the callbacks, so their log mutations (e.g. "lr") are
             # recorded — Keras runs its History callback last the same way
             self.history.append(epoch, logs)
-            if stop:
+            if stop or stop_batch:
                 break
         if profiling:
             jax.profiler.stop_trace()
