@@ -270,6 +270,12 @@ def canonicalize_batch(x, feature_columns, skip_hash=()):
         want_ndim = 1 + len(spec.shape)
         if arr.ndim == want_ndim - 1:
             arr = arr.reshape(arr.shape + (1,) * (want_ndim - arr.ndim))
+        elif (arr.ndim == want_ndim + 1 and arr.shape[-1] == 2
+              and name in skip_hash):
+            # wide [lo, hi] int32 planes for in-graph 64-bit hashing of a
+            # VARLEN feature (serving.py hash_in_graph="wide"): (B, T, 2)
+            # where the schema says (B, T) — the artifact hashes it down
+            pass
         elif arr.ndim != want_ndim:
             raise ValueError(
                 "Feature '{}': expected rank {} (incl. batch), got shape {}".format(

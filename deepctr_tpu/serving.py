@@ -61,6 +61,7 @@ def _hash_spec(model):
             entry = {
                 "num_buckets": int(fc.vocabulary_size),
                 "mask_zero": isinstance(fc, VarLenSparseFeat),
+                "varlen": isinstance(fc, VarLenSparseFeat),
                 "algorithm": "farmhash",
                 # in-graph only where the device kernel is exact: integer
                 # keys (jax has no int64 inputs without x64 — the host
@@ -81,9 +82,10 @@ def _hash_spec(model):
 def _device_hash_batch(batch, in_graph_cols):
     """Apply in-graph hashing to the raw-key features of a traced batch.
 
-    Wide entries carry the 64-bit key as an (B, 2) int32 [lo, hi] plane
-    pair (jax accepts no int64 inputs without x64); narrow entries are
-    plain int32 keys with the canonical feature shape."""
+    Wide entries carry the 64-bit key as int32 [lo, hi] planes on a
+    trailing axis — (B, 2) for scalar features, (B, T, 2) for varlen
+    history ids (jax accepts no int64 inputs without x64); narrow entries
+    are plain int32 keys with the canonical feature shape."""
     from .ops.hash import device_hash_bucket, device_hash_bucket_u64
 
     batch = dict(batch)
@@ -93,7 +95,8 @@ def _device_hash_batch(batch, in_graph_cols):
             ids = device_hash_bucket_u64(
                 v[..., 0], v[..., 1], e["num_buckets"],
                 mask_zero=e["mask_zero"], algorithm=e["algorithm"])
-            batch[name] = ids[..., None]  # canonical (B, 1)
+            # canonical shapes: scalar (B, 1); varlen already (B, T)
+            batch[name] = ids if e.get("varlen") else ids[..., None]
         else:
             batch[name] = device_hash_bucket(
                 batch[name], e["num_buckets"], mask_zero=e["mask_zero"],
@@ -148,14 +151,13 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     _remat_off.__enter__()
     hash_cols = _hash_spec(model)
     if hash_in_graph == "wide":
-        # 64-bit-capable artifacts: each in-graph SCALAR hash feature
-        # takes an (B, 2) int32 [lo, hi] plane pair and device-hashes the
-        # full int64 decimal string (ops/hash.py device_hash_bucket_u64).
-        # Varlen features keep the narrow contract (their wide planes
-        # would be rank 3, which canonicalize_batch rejects) and demote
-        # below if 64-bit keys appear.
+        # 64-bit-capable artifacts: each in-graph hash feature takes int32
+        # [lo, hi] planes on a trailing axis — (B, 2) scalar, (B, T, 2)
+        # varlen history ids — and device-hashes the full int64 decimal
+        # string (ops/hash.py device_hash_bucket_u64), so int64-keyed
+        # DIN/DIEN serve raw keys end-to-end.
         for name, e in hash_cols.items():
-            if e["in_graph"] and not e["mask_zero"]:
+            if e["in_graph"]:
                 e["wide"] = True
     # demote to host-side hashing when the example batch shows raw keys
     # beyond int32 and the feature is not wide (jax has no int64 inputs
@@ -188,9 +190,15 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
                     for k, v in xc.items()}
         for name, e in in_graph_cols.items():
             if e.get("wide"):
-                # wide features enter as (B, 2) int32 [lo, hi] planes
-                lead = spec[name].shape[:1]
-                spec[name] = jax.ShapeDtypeStruct(lead + (2,), np.int32)
+                # wide features enter as int32 [lo, hi] planes: scalar
+                # (B, 2) (the canonical trailing 1 becomes the plane
+                # axis), varlen (B, T, 2)
+                shp = spec[name].shape
+                if e.get("varlen"):
+                    spec[name] = jax.ShapeDtypeStruct(shp + (2,), np.int32)
+                else:
+                    spec[name] = jax.ShapeDtypeStruct(shp[:1] + (2,),
+                                                      np.int32)
 
         if bake_weights:
             serve = model.export_inference_fn()
@@ -283,12 +291,16 @@ def make_preprocessor(spec_or_path):
                             "non-numeric strings" % name)
                 arr = arr.astype(np.int64)
                 if e.get("wide"):
-                    # 64-bit-capable artifact: split into (B, 2) int32
-                    # [lo, hi] planes the in-graph u64 kernel consumes
-                    flat = arr.reshape(len(arr), -1)[:, 0]
+                    # 64-bit-capable artifact: split into int32 [lo, hi]
+                    # planes the in-graph u64 kernel consumes — (B, 2)
+                    # for scalar keys, (B, T, 2) for varlen history ids
+                    if e.get("varlen"):
+                        v = arr if arr.ndim >= 2 else arr[:, None]
+                    else:
+                        v = arr.reshape(len(arr), -1)[:, 0]
                     out[name] = np.stack(
-                        [(flat & 0xFFFFFFFF).astype(np.uint32),
-                         ((flat >> 32) & 0xFFFFFFFF).astype(np.uint32)],
+                        [(v & 0xFFFFFFFF).astype(np.uint32),
+                         ((v >> 32) & 0xFFFFFFFF).astype(np.uint32)],
                         axis=-1).astype(np.int64).astype(np.int32)
                     continue
                 if arr.size and (arr.max() > np.iinfo(np.int32).max
