@@ -1,11 +1,18 @@
-"""Weak-scaling gate (BASELINE.md north star: >=80% efficiency).
+"""Weak-scaling gates (BASELINE.md north star: >=80% efficiency).
 
-Real multi-chip hardware is not available in this image, so the gate runs
-the faithful CPU simulation: an n-device virtual mesh pinned to exactly
-one physical core per device (bench_scaling.pinned_rate). SPMD
-partitioning + collective overhead would show up as sub-linear rates;
->=0.8 asserts the sharded train step costs <=20% over N independent
-single-device steps.
+Real multi-chip hardware is not available in this image, so the gates run
+the faithful CPU simulation: n-device virtual meshes pinned to exactly
+one physical core per device (bench_scaling.pinned_rate).
+
+The honest gate on a shared-memory host is the 2->4 RELATIVE efficiency
+(VERDICT r4 weak #3): the 1-core baseline serializes host dispatch
+against compute, so any vs-1 "efficiency" reads superlinear and the gate
+could never fail. r4 / (2 * r2) compares two regimes that both overlap
+dispatch, so SPMD partitioning/collective overhead is what's left.
+
+A second gate runs the REAL multi-host codepath — two OS processes under
+jax.distributed, per-step make_global_batch assembly — and bounds its
+overhead vs the same mesh run single-process.
 """
 from __future__ import annotations
 
@@ -14,15 +21,39 @@ import shutil
 
 import pytest
 
+needs_cores = pytest.mark.skipif((os.cpu_count() or 1) < 4,
+                                 reason="needs >=4 cores")
+needs_taskset = pytest.mark.skipif(shutil.which("taskset") is None,
+                                   reason="needs taskset")
 
-@pytest.mark.skipif(shutil.which("taskset") is None, reason="needs taskset")
-@pytest.mark.skipif((os.cpu_count() or 1) < 2, reason="needs >=2 cores")
-def test_weak_scaling_efficiency_pinned():
+
+@needs_taskset
+@needs_cores
+def test_weak_scaling_relative_efficiency_pinned():
     import bench_scaling as bs
 
-    n = min(4, os.cpu_count())
-    r1 = bs.pinned_rate(1, per_device_batch=1024, steps=10)
-    rn = bs.pinned_rate(n, per_device_batch=1024, steps=10)
-    eff = rn / (r1 * n)
-    assert eff >= 0.8, "weak-scaling efficiency %.3f < 0.8 (r1=%.0f r%d=%.0f)" % (
-        eff, r1, n, rn)
+    r2 = bs.pinned_rate(2, per_device_batch=1024, steps=10)
+    r4 = bs.pinned_rate(4, per_device_batch=1024, steps=10)
+    eff = r4 / (2.0 * r2)
+    assert eff >= 0.85, (
+        "2->4 relative weak-scaling efficiency %.3f < 0.85 "
+        "(r2=%.0f r4=%.0f)" % (eff, r2, r4))
+
+
+@needs_taskset
+@pytest.mark.skipif((os.cpu_count() or 1) < 2, reason="needs >=2 cores")
+@pytest.mark.skipif(os.environ.get("DEEPCTR_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_multihost_throughput_overhead_bounded():
+    """2-process jax.distributed fit path vs the same 2-device mesh run
+    in one process: per-step global-batch assembly + DCN-style coordination
+    must cost < 2x (ratio >= 0.5). Loose on purpose — this is a smoke gate
+    for catastrophic regressions; BASELINE.md records the measured rates."""
+    import bench_scaling as bs
+
+    r2p = bs.multiprocess_rate(2, per_device_batch=1024, steps=10)
+    r2s = bs.pinned_rate(2, per_device_batch=1024, steps=10)
+    ratio = r2p / r2s
+    assert ratio >= 0.5, (
+        "multi-host overhead ratio %.3f < 0.5 (2-proc %.0f vs "
+        "1-proc-2-dev %.0f ex/s)" % (ratio, r2p, r2s))
