@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def _step_rate(devices, per_device_batch=2048, steps=20):
+def _step_rate(devices, per_device_batch=2048, steps=20, model_par=1,
+               sparse=False, sharded_lookup=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,8 +33,9 @@ def _step_rate(devices, per_device_batch=2048, steps=20):
     from deepctr_tpu.parallel.sharding import shard_batch
 
     n = len(devices)
-    batch = per_device_batch * n
-    mesh = make_mesh((n, 1), ("data", "model"), devices)
+    batch = per_device_batch * n  # global batch fixed by device count, so
+    # rates stay comparable across model_par at the same n
+    mesh = make_mesh((n // model_par, model_par), ("data", "model"), devices)
 
     cols = [SparseFeat("C%d" % i, 10_000, 16) for i in range(26)]
     cols += [DenseFeat("I%d" % i, 1) for i in range(13)]
@@ -48,7 +50,9 @@ def _step_rate(devices, per_device_batch=2048, steps=20):
     w = np.ones(batch, np.float32)
 
     model = DeepFM(cols, cols, dnn_hidden_units=(256, 128, 64))
-    model.compile("adam", "binary_crossentropy", mesh=mesh)
+    model.compile("adam", "binary_crossentropy", mesh=mesh,
+                  sparse_embedding_updates=sparse,
+                  sharded_lookup=sharded_lookup)
     xc = canonicalize_batch(x, model.feature_columns)
     model._ensure_built(xc)
     train_step = model._build_train_step()
@@ -106,7 +110,8 @@ def main(sizes=None):
                           "physical_cores": nproc}))
 
 
-def pinned_rate(n, per_device_batch=2048, steps=20):
+def pinned_rate(n, per_device_batch=2048, steps=20, model_par=1,
+                sparse=False, sharded_lookup=None):
     """Rate for an n-device virtual mesh with exactly ONE PHYSICAL CORE
     PER DEVICE (taskset-pinned subprocess) — the faithful weak-scaling
     simulation on a CPU host: each 'chip' owns its silicon, so
@@ -120,8 +125,10 @@ def pinned_rate(n, per_device_batch=2048, steps=20):
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import bench_scaling as bs\n"
         "print('RATE=%r' % bs._step_rate(jax.devices()[:{n}], "
-        "per_device_batch={b}, steps={s}))".format(
-            n=n, b=per_device_batch, s=steps))
+        "per_device_batch={b}, steps={s}, model_par={m}, sparse={sp}, "
+        "sharded_lookup={sl!r}))".format(
+            n=n, b=per_device_batch, s=steps, m=model_par, sp=sparse,
+            sl=sharded_lookup))
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=%d" % n)
