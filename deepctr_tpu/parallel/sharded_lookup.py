@@ -235,4 +235,13 @@ def routed_take(table, ids, overflow_sink=None):
             return sharded_lookup_a2a(
                 table, ids, mesh, model_axis=maxis, data_axis=_daxis(mesh),
                 capacity=scope["capacity"])
+    if getattr(table, "ndim", 0) == 2:
+        # small-vocab tables: VMEM-resident one-hot MXU gather/scatter
+        # removes these rows from the HBM random-row bill entirely
+        # (ops/small_vocab.py — the round-5 sequence-tier attack)
+        from ..ops.small_vocab import maybe_mxu_gather
+
+        rows = maybe_mxu_gather(table, ids)
+        if rows is not None:
+            return rows
     return jnp.take(table, ids, axis=0, mode="clip")

@@ -123,9 +123,73 @@ def gen_seq(outdir, rng):
     json.dump(meta, open(os.path.join(outdir, "meta.json"), "w"))
 
 
+# census-like multitask schema (reference examples/run_mtl.py trains MMOE
+# on census-income: categorical demographics + continuous features, two
+# binary tasks). Two tasks share latent structure (shared per-id factors)
+# but weight it differently + have task-specific main effects — exactly
+# what shared-expert/gate architectures model.
+MT_N_SPARSE = 8
+MT_VOCAB = 1000
+MT_N_DENSE = 5
+
+
+def gen_multitask(outdir, rng):
+    z = rng.normal(0, 0.5, (MT_N_SPARSE, MT_VOCAB, 4)).astype(np.float32)
+    # task-specific readouts of the shared factors
+    u1 = rng.normal(0, 0.7, (MT_N_SPARSE, 4)).astype(np.float32)
+    u2 = rng.normal(0, 0.7, (MT_N_SPARSE, 4)).astype(np.float32)
+    w1 = rng.normal(0, 0.3, (MT_N_SPARSE, MT_VOCAB)).astype(np.float32)
+    w2 = rng.normal(0, 0.3, (MT_N_SPARSE, MT_VOCAB)).astype(np.float32)
+    b1d = rng.normal(0, 0.5, MT_N_DENSE).astype(np.float32)
+    b2d = rng.normal(0, 0.5, MT_N_DENSE).astype(np.float32)
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def rows(n, seed):
+        r = np.random.RandomState(seed)
+        chunk = 100_000
+        done = 0
+        while done < n:
+            m = min(chunk, n - done)
+            ids = r.randint(0, MT_VOCAB, (m, MT_N_SPARSE)).astype(np.int64)
+            dense = r.rand(m, MT_N_DENSE).astype(np.float32)
+            zi = z[np.arange(MT_N_SPARSE)[None, :], ids]  # (m, F, 4)
+            l1 = (np.einsum("mfk,fk->m", zi, u1)
+                  + w1[np.arange(MT_N_SPARSE)[None, :], ids].sum(1)
+                  + dense @ b1d - 0.8)
+            l2 = (np.einsum("mfk,fk->m", zi, u2)
+                  + w2[np.arange(MT_N_SPARSE)[None, :], ids].sum(1)
+                  + dense @ b2d - 1.2)
+            y1 = (r.rand(m) < 1 / (1 + np.exp(-l1))).astype(np.float32)
+            y2 = (r.rand(m) < 1 / (1 + np.exp(-l2))).astype(np.float32)
+            for i in range(m):
+                yield ({**{"C%d" % (f + 1): int(ids[i, f])
+                           for f in range(MT_N_SPARSE)},
+                        **{"I%d" % (f + 1): float(dense[i, f])
+                           for f in range(MT_N_DENSE)},
+                        "label1": float(y1[i]), "label2": float(y2[i])})
+            done += m
+            print("  multitask %d/%d" % (done, n), flush=True)
+
+    for name, n, seed in (("train", N_TRAIN, 5), ("test", N_TEST, 6)):
+        path = os.path.join(outdir, name + ".tfrecords")
+        write_tfrecord_examples(path, rows(n, seed))
+        print("wrote %s" % path, flush=True)
+    meta = {"n_sparse": MT_N_SPARSE, "vocab": MT_VOCAB,
+            "n_dense": MT_N_DENSE, "n_train": N_TRAIN, "n_test": N_TEST}
+    json.dump(meta, open(os.path.join(outdir, "meta.json"), "w"))
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/heldout_data"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     rng = np.random.RandomState(0)
-    gen_tabular(os.path.join(out, "tabular"), rng)
-    gen_seq(os.path.join(out, "seq"), rng)
+    if only in (None, "tabular"):
+        gen_tabular(os.path.join(out, "tabular"), rng)
+    if only in (None, "seq"):
+        gen_seq(os.path.join(out, "seq"), rng)
+    if only in (None, "multitask"):
+        # own seed: reproducible whether or not the other generators ran
+        gen_multitask(os.path.join(out, "multitask"),
+                      np.random.RandomState(1234))
     print("done")
