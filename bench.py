@@ -45,9 +45,24 @@ CALLS = 4    # timed calls for the final measurement (SCAN * CALLS steps)
 REF_TF_EXAMPLES_PER_S = 58157.3
 # window gates (BASELINE.md: healthy windows stream 154-270 GB/s and the
 # compiled scan overlaps row DMAs at factor ~1.9-2.3; r03's degraded
-# capture read overlap 0.535 — BELOW the no-overlap bound)
+# capture read overlap 0.535 — BELOW the no-overlap bound). Round 5
+# (VERDICT r4 weak #6): the overlap gate is 0.9 — at 0.8 a capture AT the
+# no-overlap bound could pass as "healthy" while the overlap regime was
+# lost; captures below 0.9 are labeled degraded and retried.
 HEALTHY_STREAM_GBPS = 100.0
-HEALTHY_OVERLAP = 0.8
+HEALTHY_OVERLAP = 0.9
+
+
+def _row_regime(row_ns):
+    """Which row-service regime the isolated probe sits in. Cross-round
+    comparisons need this label: r2 windows served isolated random rows at
+    19-24 ns, r4/r5 windows at ~6 ns — overlap factors computed against
+    different regimes are not comparable (VERDICT r4 weak #6)."""
+    if row_ns <= 9.0:
+        return "fast(<=9ns)"
+    if row_ns >= 15.0:
+        return "slow(r2-band,>=15ns)"
+    return "intermediate(9-15ns)"
 
 
 def _make_model():
@@ -290,6 +305,7 @@ def main():
         "roofline_examples_per_s_upper": round(roofline, 1),
         "roofline_fraction": round(examples_per_s / roofline, 3),
         "random_row_ns_isolated": round(row_ns, 2),
+        "overlap_regime": _row_regime(row_ns),
         "row_no_overlap_examples_per_s": round(row_bound, 1),
         # >1 = the compiled scan overlaps random row DMAs the isolated
         # microbench serves serially; between the bounds is physics

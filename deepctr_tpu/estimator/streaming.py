@@ -319,7 +319,11 @@ def iter_tfrecord_batches(filenames, feature_description, label=None,
     def split_label(cols):
         x = dict(cols)
         y = None
-        if label is not None:
+        if isinstance(label, (list, tuple)):
+            # multi-task: (B, n_tasks) column-stacked in the given order
+            y = np.stack([np.asarray(x.pop(l), np.float32).reshape(-1)
+                          for l in label], axis=1)
+        elif label is not None:
             y = np.asarray(x.pop(label), np.float32).reshape(-1)
         return x, y
 

@@ -271,3 +271,27 @@ def test_runconfig_field_mapping(tmp_path):
     # save_checkpoints_steps=2 fired at global step 2 (plus the final save)
     assert os.path.exists(os.path.join(str(tmp_path / "md"), "checkpoint.bin"))
     assert est._global_step == 3
+
+
+def test_input_fn_tfrecord_multitask_label_list(tmp_path):
+    """label=[...] yields (B, n_tasks) column-stacked labels (multitask
+    fit over TFRecord streams — tools/heldout_quality_ab.py mmoe path)."""
+    import numpy as np
+
+    from deepctr_tpu.estimator.tfrecord import write_tfrecord_examples
+
+    path = str(tmp_path / "mt.tfrecords")
+    rows = [{"a": i, "y1": float(i % 2), "y2": float((i + 1) % 2)}
+            for i in range(10)]
+    write_tfrecord_examples(path, rows)
+    desc = {"a": FixedLenFeature((1,), "int64", 0),
+            "y1": FixedLenFeature((1,), "float32"),
+            "y2": FixedLenFeature((1,), "float32")}
+    fn = input_fn_tfrecord(path, desc, label=["y1", "y2"], batch_size=4,
+                           num_epochs=1, shuffle_factor=0)
+    xs, ys = zip(*list(fn()))
+    y = np.concatenate(ys)
+    assert y.shape == (10, 2)
+    np.testing.assert_array_equal(y[:, 0], [i % 2 for i in range(10)])
+    np.testing.assert_array_equal(y[:, 1], [(i + 1) % 2 for i in range(10)])
+    assert "y1" not in xs[0] and "a" in xs[0]
