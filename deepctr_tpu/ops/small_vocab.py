@@ -43,6 +43,10 @@ from jax.experimental import pallas as pl
 MAX_VOCAB = 4096
 MAX_WIDTH = 256
 BLK = 512  # ids per grid step
+# below this many ids per call the pallas fixed costs beat the row-DMA
+# savings: the round-5 A/B measured DIN/DIEN/BST (409.6k-id history
+# gathers) +4..6% but DSIN (ten separate 81.9k-id session gathers) -29%
+MIN_IDS = 131072
 
 _STATE = {"enabled": None, "interpret": False}  # None = auto (TPU on)
 
@@ -191,4 +195,6 @@ def maybe_mxu_gather(table, ids):
         return None
     if getattr(ids, "ndim", None) is None:
         return None
+    if not small_vocab_interpret() and int(np.prod(ids.shape)) < MIN_IDS:
+        return None  # interpret mode (CPU tests) exercises every shape
     return mxu_gather(table, ids, small_vocab_interpret())
