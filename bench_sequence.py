@@ -130,6 +130,10 @@ def run_one(name, scan=SCAN):
         from deepctr_tpu.ops.small_vocab import set_small_vocab
 
         set_small_vocab(False)
+    if os.environ.get("LANES") == "0":  # lane-attention A/B hook
+        from deepctr_tpu.ops.attention_lanes import set_lane_attention
+
+        set_lane_attention(False)
 
     try:
         from deepctr_tpu import enable_compilation_cache

@@ -462,6 +462,24 @@ class Transformer(nn.Module):
         queries = queries.astype(cd)
         keys = keys.astype(cd)
 
+        from ..ops import attention_lanes as lanes_ops
+        from ..ops import attention as _fused_probe
+        if (self.attention_type == "scaled_dot_product"
+                and lanes_ops.lane_attention_enabled()
+                and lanes_ops.lane_attention_supported(T_q, T_k, D)
+                and not _fused_probe.fused_attention_enabled()):
+            # batch-on-lanes layout for tiny (T, dk): the (B,H,T,D)/(B,H,
+            # T,T) tensors whose padded minors cost ~26x never exist
+            # (ops/attention_lanes.py — round-5 DSIN/BST attack)
+            rate = float(self.dropout_rate) if training else 0.0
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            merged = lanes_ops.lane_attention(
+                queries, keys, W_Query, W_Key, W_Value, q_mask, k_mask,
+                D, H, MASK_PADDING, self.blinding, dropout_rate=rate,
+                dropout_rng=rng, compute_dtype=cd)
+            return self._post_attention(merged, queries, B, T_q, D, H,
+                                        training, merged_heads=True)
+
         def project(x, W, T):
             p = jnp.dot(x, W.astype(cd), preferred_element_type=jnp.float32)
             return p.astype(cd).reshape(B, T, H, D).transpose(0, 2, 1, 3)
@@ -529,10 +547,14 @@ class Transformer(nn.Module):
         result = jnp.einsum("bhqk,bhkd->bhqd", weights, V)
         return self._post_attention(result, queries, B, T_q, D, H, training)
 
-    def _post_attention(self, result, queries, B, T_q, D, H, training):
-        """Shared tail (res/LN/FFN/pooling); result is (B,H,T,D)."""
+    def _post_attention(self, result, queries, B, T_q, D, H, training,
+                        merged_heads=False):
+        """Shared tail (res/LN/FFN/pooling); result is (B,H,T,D), or
+        already (B,T,H*D) when ``merged_heads`` (the lane-major path
+        merges heads on exit to skip a padded transpose)."""
         E = queries.shape[-1]
-        result = result.transpose(0, 2, 1, 3).reshape(B, T_q, H * D)
+        if not merged_heads:
+            result = result.transpose(0, 2, 1, 3).reshape(B, T_q, H * D)
 
         if self.use_res:
             result = result + queries
