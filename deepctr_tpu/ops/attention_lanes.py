@@ -46,9 +46,12 @@ def lane_attention_enabled():
 
 
 def lane_attention_supported(T_q, T_k, D):
-    """Where the layout pays: tiny minors (unrolled contractions stay
-    small) — exactly the DSIN/BST/AutoInt-style short-seq shapes."""
-    return T_q <= 64 and T_k <= 64 and D <= 32
+    """Where the layout pays: TINY sequence axes. TPU A/B (BASELINE.md
+    round 5): DSIN's T=10 sessions 3.49x (88.8k -> 310.1k ex/s, residual
+    62.9 -> 0.3 ms); BST's T=50 0.55x — at T=50 the f32 (H,T,T,B) score
+    tensor is ~1.3 GB/step and the unrolled T_k accumulation stops
+    fusing, so the padded-einsum path wins back. Gate at T <= 16."""
+    return T_q <= 16 and T_k <= 16 and D <= 32
 
 
 def lane_attention(queries, keys, W_q, W_k, W_v, q_mask, k_mask, D, H,
