@@ -138,7 +138,11 @@ def _ours_tabular(model_cls, **kw):
     cols = ([SparseFeat(f, VOCAB, 16) for f in SPARSE] +
             [DenseFeat(f, 1) for f in DENSE])
     model = model_cls(cols, **kw)
-    model.compile("adam", "binary_crossentropy")
+    # HELDOUT_F32=1 forces f32 activations (isolates whether an AUC delta
+    # comes from the auto-bf16 default or from model/run variance)
+    ckw = (dict(compute_dtype="float32")
+           if os.environ.get("HELDOUT_F32") == "1" else {})
+    model.compile("adam", "binary_crossentropy", **ckw)
     t0 = time.time()
     model.fit(train_fn, verbose=0, steps_per_execution=8)
     train_s = time.time() - t0
