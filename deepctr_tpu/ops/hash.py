@@ -393,3 +393,48 @@ def device_hash_bucket(ids, num_buckets, mask_zero=False,
     if mask_zero:
         out = (out + 1) * (v != 0).astype(jnp.int32)
     return out
+
+
+def device_hash_bucket_bytes(buf, lengths, num_buckets, mask_zero=False,
+                             algorithm="farmhash"):
+    """In-graph hashing of RAW BYTE STRINGS (<= 32 bytes): buckets
+    bit-identical to ``hashing.hash_array`` on the decoded strings.
+
+    TPU has no string dtype, so serving artifacts exported with
+    ``hash_in_graph="bytes"`` (serving.py) take each string-keyed feature
+    as an int32 byte-plane tensor ``(..., L)`` (UTF-8 bytes, zero-padded)
+    plus ``(...,)`` lengths — the host side only ENCODES bytes, all
+    hashing knowledge lives in the artifact (reference parity: its
+    SavedModel hashes strings in-graph, layers/utils.py:89-112).
+
+    ``mask_zero``: the literal string "0" maps to bucket 0 (reference
+    Hash semantics: ``(hash + 1) * (x != "0")``).
+    """
+    s = jnp.asarray(buf).astype(jnp.uint32) & np.uint32(0xFF)
+    n = jnp.asarray(lengths).astype(jnp.uint32)
+    if s.shape[-1] > 32:
+        raise ValueError(
+            "device_hash_bucket_bytes supports keys up to 32 bytes; got "
+            "plane width %d (hash longer keys on the host: "
+            "hash_in_graph=False)" % s.shape[-1])
+    if s.shape[-1] < 17:
+        # keep the short-tier index math in-bounds
+        s = jnp.concatenate(
+            [s, jnp.zeros(s.shape[:-1] + (17 - s.shape[-1],), jnp.uint32)],
+            axis=-1)
+    if algorithm == "farmhash":
+        h_short = _farmhash_le16(s, jnp.maximum(n, np.uint32(1)))
+        h_long = _farmhash_17to32(s, n)
+        h = _where(n > np.uint32(16), h_long, h_short)
+        # FarmHash64 of the EMPTY string short-circuits to the K2 constant
+        h = _where(n == np.uint32(0), _const(_K2), h)
+    elif algorithm == "fnv":
+        h = _fnv1a(s, n)
+    else:
+        raise ValueError("algorithm must be 'farmhash' or 'fnv'")
+    buckets = num_buckets - 1 if mask_zero else num_buckets
+    out = _mod_small(h, buckets).astype(jnp.int32)
+    if mask_zero:
+        is_zero_str = (n == np.uint32(1)) & (s[..., 0] == np.uint32(ord("0")))
+        out = (out + 1) * (~is_zero_str).astype(jnp.int32)
+    return out

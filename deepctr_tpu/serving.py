@@ -86,11 +86,18 @@ def _device_hash_batch(batch, in_graph_cols):
     trailing axis — (B, 2) for scalar features, (B, T, 2) for varlen
     history ids (jax accepts no int64 inputs without x64); narrow entries
     are plain int32 keys with the canonical feature shape."""
-    from .ops.hash import device_hash_bucket, device_hash_bucket_u64
+    from .ops.hash import (device_hash_bucket, device_hash_bucket_bytes,
+                           device_hash_bucket_u64)
 
     batch = dict(batch)
     for name, e in in_graph_cols.items():
-        if e.get("wide"):
+        if e.get("bytes"):
+            v = batch[name]  # (B, L+1): byte planes + length column
+            ids = device_hash_bucket_bytes(
+                v[..., :-1], v[..., -1], e["num_buckets"],
+                mask_zero=e["mask_zero"], algorithm=e["algorithm"])
+            batch[name] = ids[..., None]  # canonical (B, 1)
+        elif e.get("wide"):
             v = batch[name]
             ids = device_hash_bucket_u64(
                 v[..., 0], v[..., 1], e["num_buckets"],
@@ -153,7 +160,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     _remat_off = remat_scope(False)
     _remat_off.__enter__()
     hash_cols = _hash_spec(model)
-    if hash_in_graph == "wide":
+    if hash_in_graph in ("wide", "bytes"):
         # 64-bit-capable artifacts: each in-graph hash feature takes int32
         # [lo, hi] planes on a trailing axis — (B, 2) scalar, (B, T, 2)
         # varlen history ids — and device-hashes the full int64 decimal
@@ -162,6 +169,26 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
         for name, e in hash_cols.items():
             if e["in_graph"]:
                 e["wide"] = True
+    if hash_in_graph == "bytes":
+        # fully self-contained STRING-keyed artifacts: each scalar string
+        # hash feature enters as (B, L+1) int32 — L UTF-8 byte planes +
+        # a length column — and the artifact hashes the raw bytes itself
+        # (ops/hash.py device_hash_bucket_bytes, bit-identical to host
+        # hash_array / TF to_hash_bucket_fast; keys up to 32 bytes).
+        # Varlen string histories stay host-side (rare; demote cleanly).
+        from .features import VarLenSparseFeat as _VL
+        from .features import _is_string_dtype as _isstr
+
+        by_name = {fc.name: fc for fc in model.feature_columns}
+        for name, e in hash_cols.items():
+            fc = by_name[name]
+            if (_isstr(fc.dtype) and fc.vocabulary_path is None
+                    and not isinstance(fc, _VL)
+                    and int(fc.vocabulary_size) < (1 << 24)):
+                e["in_graph"] = True
+                e["bytes"] = True
+                e["byte_width"] = 32
+                e.pop("wide", None)
     # demote to host-side hashing when the example batch shows raw keys
     # beyond int32 and the feature is not wide (jax has no int64 inputs
     # without x64; an int32 wrap would hash a different decimal string
@@ -192,7 +219,13 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
             spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                     for k, v in xc.items()}
         for name, e in in_graph_cols.items():
-            if e.get("wide"):
+            if e.get("bytes"):
+                # string keys enter as (B, L+1) int32: UTF-8 byte planes
+                # + a trailing length column
+                L = int(e["byte_width"])
+                spec[name] = jax.ShapeDtypeStruct(
+                    spec[name].shape[:1] + (L + 1,), np.int32)
+            elif e.get("wide"):
                 # wide features enter as int32 [lo, hi] planes: scalar
                 # (B, 2) (the canonical trailing 1 becomes the plane
                 # axis), varlen (B, T, 2)
@@ -284,6 +317,26 @@ def make_preprocessor(spec_or_path):
             if name not in out:
                 continue  # canonicalize_batch reports missing features
             arr = np.asarray(out[name])
+            if e.get("in_graph") and e.get("bytes"):
+                # bytes-mode artifact: ENCODE only — zero-padded UTF-8
+                # byte planes + a length column; the artifact hashes
+                s = hashing._stringify(arr).reshape(len(arr), -1)[:, 0]
+                L = int(e.get("byte_width", 32))
+                planes = np.zeros((len(s), L + 1), np.int32)
+                for i, st in enumerate(s):
+                    b = str(st).encode("utf-8")
+                    if len(b) > L:
+                        raise ValueError(
+                            "feature '%s': key %r is %d bytes; this "
+                            "bytes-mode artifact hashes keys up to %d "
+                            "bytes in-graph. Re-export with "
+                            "hash_in_graph=False to hash long keys on "
+                            "the host" % (name, st, len(b), L))
+                    if b:
+                        planes[i, :len(b)] = np.frombuffer(b, np.uint8)
+                    planes[i, L] = len(b)
+                out[name] = planes
+                continue
             if e.get("in_graph"):
                 if arr.dtype.kind in ("U", "S", "O"):
                     try:

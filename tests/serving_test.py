@@ -384,3 +384,55 @@ def test_wide_in_graph_hash_varlen_int64(tmp_path):
     out = np.asarray(serving.load_stablehlo(path)(xc))
     np.testing.assert_allclose(out.reshape(-1), want.reshape(-1)[:5],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bytes_in_graph_hash_string_keys(tmp_path):
+    """hash_in_graph="bytes": STRING-keyed artifacts are fully
+    self-contained — the host only UTF-8-encodes keys into (B, L+1) byte
+    planes; the artifact hashes them in-graph, bit-identical to the
+    training-time host pipeline (ops/hash.py device_hash_bucket_bytes)."""
+    import json
+
+    rng = np.random.RandomState(5)
+    B = 24
+    users = np.array(["user_%04d" % u for u in rng.randint(0, 500, B)],
+                     dtype=object)
+    users[0] = ""          # edge: empty key
+    users[1] = "0"         # edge: the literal-"0" mask key
+    users[2] = "café" # edge: multi-byte UTF-8
+    cols = [SparseFeat("uid", 60, 4, use_hash=True, dtype="string"),
+            SparseFeat("s1", 20, 4), DenseFeat("d0", 1)]
+    x = {"uid": users, "s1": rng.randint(0, 20, B),
+         "d0": rng.rand(B).astype("float32")}
+    y = rng.randint(0, 2, B).astype("float32")
+    model = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=11)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=12, epochs=1, verbose=0)
+    want = model.predict(x)  # host-hashes the strings
+
+    path = str(tmp_path / "bytes.shlo")
+    serving.export_stablehlo(model, path, example_batch=x,
+                             hash_in_graph="bytes")
+    spec = json.load(open(path + ".hashspec.json"))["features"]
+    assert spec["uid"]["in_graph"] and spec["uid"]["bytes"]
+
+    got = serving.predict_with_artifact(path, x, cols)
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-5, atol=1e-6)
+
+    # polymorphic batch through the byte planes
+    prep = serving.make_preprocessor(path + ".hashspec.json")
+    x7 = {k: v[:7] for k, v in x.items()}
+    assert prep(x7)["uid"].shape == (7, 33)
+    xc = canonicalize_batch(prep(x7), cols, skip_hash=prep.skip_hash)
+    out = np.asarray(serving.load_stablehlo(path)(xc))
+    np.testing.assert_allclose(out.reshape(-1), want.reshape(-1)[:7],
+                               rtol=1e-5, atol=1e-6)
+
+    # >32-byte keys fail loudly at the preprocessor, never silently
+    xbad = dict(x)
+    xbad["uid"] = np.array(["y" * 40] * B, dtype=object)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bytes"):
+        prep(xbad)
