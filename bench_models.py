@@ -132,8 +132,15 @@ def _measure(model, cols, x, batch, scan=10, calls=3):
 
 def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25,
          f32=False):
+    import os
+
     from deepctr_tpu import models as zoo
     from deepctr_tpu.training.optimizers import embedding_split_optimizer
+
+    if os.environ.get("LANES") == "0":  # lane-attention A/B hook
+        from deepctr_tpu.ops.attention_lanes import set_lane_attention
+
+        set_lane_attention(False)
 
     rng = np.random.RandomState(0)
     # B_SEQ=8192: measured knee of the sequence-model batch sweep

@@ -347,29 +347,41 @@ class InteractingLayer(nn.Module):
         cd = compute_dtype()
         x = inputs.astype(cd)
 
-        def project(W):
-            p = jnp.dot(x, W.astype(cd), preferred_element_type=jnp.float32)
-            # reference splits along last axis into H chunks of size D
-            return p.astype(cd).reshape(B, F, H, D).transpose(0, 2, 1, 3)
-
-        Q, K, V = project(W_Query), project(W_Key), project(W_Value)
         from ..ops import attention as fused_ops
-        if fused_ops.fused_attention_enabled():
-            # fused VMEM-resident attention over the field axis: the
-            # (B,H,F,F) score/weight arrays never exist in HBM
-            result = fused_ops.fused_attention(
-                Q, K, V, key_mask=None,
-                scale=(1.0 / (D ** 0.5)) if self.scaling else 1.0,
-                interpret=fused_ops.fused_attention_interpret())
+        from ..ops import attention_lanes as lanes_ops
+        if (lanes_ops.lane_attention_enabled()
+                and lanes_ops.lane_core_supported(F, D)
+                and not fused_ops.fused_attention_enabled()):
+            # batch-on-lanes layout: the tiny (F, D) minors never pad
+            # (ops/attention_lanes.py — same physics as the DSIN 3.49x win)
+            result = lanes_ops.lane_attention_core(
+                x, W_Query, W_Key, W_Value, D, H,
+                (1.0 / (D ** 0.5)) if self.scaling else 1.0, cd)
         else:
-            scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)  # cd-dtype storage
-            if self.scaling:
-                scores = scores / (D ** 0.5)
-            # softmax math in f32 (the casts fuse into the elementwise
-            # chain; the stored arrays stay in cd)
-            att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cd)
-            result = jnp.einsum("bhfg,bhgd->bhfd", att, V)
-        result = result.transpose(0, 2, 1, 3).reshape(B, F, H * D)
+            def project(W):
+                p = jnp.dot(x, W.astype(cd),
+                            preferred_element_type=jnp.float32)
+                # reference splits along last axis into H chunks of size D
+                return p.astype(cd).reshape(B, F, H, D).transpose(0, 2, 1, 3)
+
+            Q, K, V = project(W_Query), project(W_Key), project(W_Value)
+            if fused_ops.fused_attention_enabled():
+                # fused VMEM-resident attention over the field axis: the
+                # (B,H,F,F) score/weight arrays never exist in HBM
+                result = fused_ops.fused_attention(
+                    Q, K, V, key_mask=None,
+                    scale=(1.0 / (D ** 0.5)) if self.scaling else 1.0,
+                    interpret=fused_ops.fused_attention_interpret())
+            else:
+                scores = jnp.einsum("bhfd,bhgd->bhfg", Q, K)  # cd storage
+                if self.scaling:
+                    scores = scores / (D ** 0.5)
+                # softmax math in f32 (the casts fuse into the elementwise
+                # chain; the stored arrays stay in cd)
+                att = jax.nn.softmax(scores.astype(jnp.float32),
+                                     axis=-1).astype(cd)
+                result = jnp.einsum("bhfg,bhgd->bhfd", att, V)
+            result = result.transpose(0, 2, 1, 3).reshape(B, F, H * D)
         if self.use_res:
             W_Res = self.param("res", tn, (E, D * H))
             result = result + jnp.dot(x, W_Res.astype(cd),

@@ -120,3 +120,42 @@ def lane_attention(queries, keys, W_q, W_k, W_v, q_mask, k_mask, D, H,
 
     # exit transpose: merge heads straight into (B, T_q, H*D)
     return jnp.transpose(out, (3, 2, 0, 1)).reshape(B, T_q, H * D)
+
+
+def lane_core_supported(F, D):
+    """InteractingLayer (AutoInt) eligibility: field counts are small
+    (criteo: 26) and head dims tiny (8) — same padding physics, its own
+    A/B'd bound on the unrolled field axis."""
+    return F <= 32 and D <= 32
+
+
+def lane_attention_core(x, W_q, W_k, W_v, D, H, scale, compute_dtype):
+    """Mask-free multi-head self-attention over fields in lane-major
+    layout (AutoInt InteractingLayer semantics: optional scaling, softmax
+    over keys, no masks/blinding). x (B, F, E) -> (B, F, H*D), heads
+    merged."""
+    B, F, E = x.shape
+    cd = compute_dtype
+    xt = jnp.transpose(x.astype(cd), (1, 2, 0))  # (F, E, B)
+
+    def proj(W):
+        out = jax.lax.dot_general(
+            W.astype(cd).T, xt,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.astype(cd).reshape(H, D, F, B)
+
+    Q, K, V = proj(W_q), proj(W_k), proj(W_v)
+    scores = jnp.zeros((H, F, F, B), jnp.float32)
+    for d in range(D):
+        scores = scores + (Q[:, d, :, None, :].astype(jnp.float32)
+                           * K[:, d, None, :, :].astype(jnp.float32))
+    if scale != 1.0:
+        scores = scores * scale
+    scores = scores - jnp.max(scores, axis=2, keepdims=True)
+    att = jax.nn.softmax(scores, axis=2).astype(cd)
+    out = jnp.zeros((H, D, F, B), jnp.float32)
+    for k in range(F):
+        out = out + (V[:, :, k, :][:, :, None, :].astype(jnp.float32)
+                     * att[:, :, k, :][:, None, :, :].astype(jnp.float32))
+    return jnp.transpose(out.astype(cd), (3, 2, 0, 1)).reshape(B, F, H * D)

@@ -120,3 +120,56 @@ def test_dropout_applies_in_lane_layout():
     assert float(jnp.abs(out_tr1 - out_eval).max()) > 1e-6
     assert float(jnp.abs(out_tr1 - out_tr2).max()) > 1e-6
     assert bool(jnp.isfinite(out_tr1).all())
+
+
+def test_interacting_layer_parity():
+    """AutoInt's InteractingLayer via the lane core == einsum path."""
+    from deepctr_tpu.layers.interaction import InteractingLayer
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(16, 26, 16).astype(np.float32))
+
+    def run(on, scaling):
+        set_lane_attention(on)
+        layer = InteractingLayer(att_embedding_size=8, head_num=2,
+                                 scaling=scaling)
+        p = layer.init(jax.random.PRNGKey(0), x)
+        out = layer.apply(p, x)
+        g = jax.grad(lambda pp: (layer.apply(pp, x) ** 2).sum())(p)
+        return out, g
+
+    for scaling in (False, True):
+        o0, g0 = run(False, scaling)
+        o1, g1 = run(True, scaling)
+        scale = max(float(jnp.abs(o0).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   atol=3e-5 * scale, rtol=2e-4)
+        gmax = max(float(jnp.abs(a).max())
+                   for a in jax.tree_util.tree_leaves(g0))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b) / gmax,
+                                       np.asarray(a) / gmax, atol=5e-4)
+
+
+def test_autoint_model_parity():
+    from tests.utils import get_test_data
+    from deepctr_tpu.features import canonicalize_batch
+    from deepctr_tpu.models import AutoInt
+
+    x, y, cols = get_test_data(24, sparse_feature_num=3, dense_feature_num=1)
+    y = np.asarray(y, np.float32)
+
+    def loss_of(on):
+        set_lane_attention(on)
+        model = AutoInt(cols, cols, dnn_hidden_units=(8,), seed=4)
+        model.compile("adam", "binary_crossentropy")
+        xc = canonicalize_batch(x, model.feature_columns)
+        model._ensure_built(xc)
+        step = model._build_train_step()
+        state, loss, _ = step(model.state, xc, y.reshape(-1, 1),
+                              np.ones(len(y), np.float32),
+                              jax.random.PRNGKey(0))
+        return float(loss)
+
+    assert abs(loss_of(False) - loss_of(True)) < 1e-5
