@@ -122,11 +122,21 @@ def lane_attention(queries, keys, W_q, W_k, W_v, q_mask, k_mask, D, H,
     return jnp.transpose(out, (3, 2, 0, 1)).reshape(B, T_q, H * D)
 
 
+_CORE_STATE = {"enabled": False}  # measured LOSS at AutoInt shape: opt-in
+
+
+def set_lane_core(enabled: bool):
+    """Opt-in switch for the InteractingLayer lane route. TPU A/B at the
+    AutoInt criteo shape (F=26, D=8, b32768): 515.3k -> 77.5k ex/s
+    (0.15x) — the 26-term unrolled weighted-sum over (H,26,26,B) f32
+    scores stops fusing, unlike DSIN's T=10 win. The einsum path's one
+    big batched contraction already utilizes well at field-attention
+    shapes, so the route ships OFF."""
+    _CORE_STATE["enabled"] = bool(enabled)
+
+
 def lane_core_supported(F, D):
-    """InteractingLayer (AutoInt) eligibility: field counts are small
-    (criteo: 26) and head dims tiny (8) — same padding physics, its own
-    A/B'd bound on the unrolled field axis."""
-    return F <= 32 and D <= 32
+    return _CORE_STATE["enabled"] and F <= 32 and D <= 32
 
 
 def lane_attention_core(x, W_q, W_k, W_v, D, H, scale, compute_dtype):

@@ -129,8 +129,11 @@ def test_interacting_layer_parity():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(16, 26, 16).astype(np.float32))
 
+    from deepctr_tpu.ops.attention_lanes import set_lane_core
+
     def run(on, scaling):
         set_lane_attention(on)
+        set_lane_core(on)   # the InteractingLayer route is opt-in
         layer = InteractingLayer(att_embedding_size=8, head_num=2,
                                  scaling=scaling)
         p = layer.init(jax.random.PRNGKey(0), x)
@@ -138,18 +141,21 @@ def test_interacting_layer_parity():
         g = jax.grad(lambda pp: (layer.apply(pp, x) ** 2).sum())(p)
         return out, g
 
-    for scaling in (False, True):
-        o0, g0 = run(False, scaling)
-        o1, g1 = run(True, scaling)
-        scale = max(float(jnp.abs(o0).max()), 1.0)
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
-                                   atol=3e-5 * scale, rtol=2e-4)
-        gmax = max(float(jnp.abs(a).max())
-                   for a in jax.tree_util.tree_leaves(g0))
-        for a, b in zip(jax.tree_util.tree_leaves(g0),
-                        jax.tree_util.tree_leaves(g1)):
-            np.testing.assert_allclose(np.asarray(b) / gmax,
-                                       np.asarray(a) / gmax, atol=5e-4)
+    try:
+        for scaling in (False, True):
+            o0, g0 = run(False, scaling)
+            o1, g1 = run(True, scaling)
+            scale = max(float(jnp.abs(o0).max()), 1.0)
+            np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                       atol=3e-5 * scale, rtol=2e-4)
+            gmax = max(float(jnp.abs(a).max())
+                       for a in jax.tree_util.tree_leaves(g0))
+            for a, b in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+                np.testing.assert_allclose(np.asarray(b) / gmax,
+                                           np.asarray(a) / gmax, atol=5e-4)
+    finally:
+        set_lane_core(False)
 
 
 def test_autoint_model_parity():
