@@ -134,6 +134,10 @@ def run_one(name, scan=SCAN):
         from deepctr_tpu.ops.attention_lanes import set_lane_attention
 
         set_lane_attention(False)
+    if os.environ.get("BLOCK") == "0":  # blocked-attention A/B hook
+        from deepctr_tpu.ops.attention_block import set_block_attention
+
+        set_block_attention(False)
 
     try:
         from deepctr_tpu import enable_compilation_cache

@@ -480,6 +480,24 @@ class Transformer(nn.Module):
             return self._post_attention(merged, queries, B, T_q, D, H,
                                         training, merged_heads=True)
 
+        from ..ops import attention_block as blk_ops
+        if (self.attention_type == "scaled_dot_product"
+                and blk_ops.block_attention_enabled()
+                and blk_ops.block_attention_supported(T_q, T_k, D, B)
+                and not _fused_probe.fused_attention_enabled()
+                and not (training and self.dropout_rate > 0)):
+            # medium-T tier (BST's T=50): same lane-major layout, but the
+            # score/softmax/weighted-sum chain runs inside a Pallas block
+            # where the accumulators stay in VMEM — XLA's fusion budget
+            # was the blocker at this T (ops/attention_block.py). Falls
+            # back when attention-weight dropout is active.
+            merged = blk_ops.transformer_block_attention(
+                queries, keys, W_Query, W_Key, W_Value, q_mask, k_mask,
+                D, H, MASK_PADDING, self.blinding, compute_dtype=cd,
+                interpret=blk_ops.block_attention_interpret())
+            return self._post_attention(merged, queries, B, T_q, D, H,
+                                        training, merged_heads=True)
+
         def project(x, W, T):
             p = jnp.dot(x, W.astype(cd), preferred_element_type=jnp.float32)
             return p.astype(cd).reshape(B, T, H, D).transpose(0, 2, 1, 3)

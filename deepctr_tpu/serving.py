@@ -141,6 +141,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     from .ops import attention as attn_ops
     from .ops import embedding as emb_ops
     from .ops import gru as gru_ops
+    from .ops import attention_block as blk_ops
     from .ops import small_vocab as sv_ops
 
     attn_was = (attn_ops.fused_attention_enabled(),
@@ -148,10 +149,12 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     pool_was = emb_ops.fused_pool_enabled()
     gru_was = (gru_ops.fused_gru_enabled(), gru_ops.fused_gru_interpret())
     sv_was = (sv_ops._STATE["enabled"], sv_ops._STATE["interpret"])
+    blk_was = (blk_ops._STATE["enabled"], blk_ops._STATE["interpret"])
     attn_ops.set_fused_attention(False)
     emb_ops.set_fused_gather_pool(False)
     gru_ops.set_fused_gru(False)
     sv_ops.set_small_vocab(False)
+    blk_ops.set_block_attention(False)
     if bake_weights is None:
         bake_weights = _weights_nbytes(model) <= _BAKE_LIMIT_BYTES
     # remat only pays in the backward pass; keep inference artifacts plain
@@ -276,6 +279,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
         emb_ops.set_fused_gather_pool(pool_was)
         gru_ops.set_fused_gru(*gru_was)
         sv_ops.set_small_vocab(*sv_was)
+        blk_ops.set_block_attention(*blk_was)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
