@@ -141,6 +141,10 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25,
         from deepctr_tpu.ops.attention_lanes import set_lane_attention
 
         set_lane_attention(False)
+    if os.environ.get("BLOCK") == "0":  # blocked-attention A/B hook
+        from deepctr_tpu.ops.attention_block import set_block_attention
+
+        set_block_attention(False)
 
     rng = np.random.RandomState(0)
     # B_SEQ=8192: measured knee of the sequence-model batch sweep

@@ -348,6 +348,7 @@ class InteractingLayer(nn.Module):
         x = inputs.astype(cd)
 
         from ..ops import attention as fused_ops
+        from ..ops import attention_block as blk_ops
         from ..ops import attention_lanes as lanes_ops
         if (lanes_ops.lane_attention_enabled()
                 and lanes_ops.lane_core_supported(F, D)
@@ -357,6 +358,18 @@ class InteractingLayer(nn.Module):
             result = lanes_ops.lane_attention_core(
                 x, W_Query, W_Key, W_Value, D, H,
                 (1.0 / (D ** 0.5)) if self.scaling else 1.0, cd)
+        elif (blk_ops.block_attention_enabled()
+              and blk_ops.block_attention_supported(F, F, D, B)
+              and not fused_ops.fused_attention_enabled()):
+            # medium-F tier: the same layout inside a Pallas block (the
+            # pure-XLA lane route measured 0.15x here — fusion failure;
+            # the kernel keeps the chain in VMEM, ops/attention_block.py)
+            ones = jnp.ones((B, F), jnp.float32)
+            result = blk_ops.transformer_block_attention(
+                x, x, W_Query, W_Key, W_Value, ones, ones, D, H,
+                -1e9, False, compute_dtype=cd,
+                interpret=blk_ops.block_attention_interpret(),
+                scale=(1.0 / (D ** 0.5)) if self.scaling else 1.0)
         else:
             def project(W):
                 p = jnp.dot(x, W.astype(cd),

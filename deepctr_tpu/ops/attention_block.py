@@ -240,7 +240,7 @@ block_attention.defvjp(_fwd, _bwd)
 def transformer_block_attention(queries, keys, W_q, W_k, W_v, q_mask,
                                 k_mask, D, H, mask_padding, blinding,
                                 compute_dtype=jnp.float32,
-                                interpret=False):
+                                interpret=False, scale=None):
     """Transformer front-end for the kernel: lane-major projections in
     XLA (efficient dot_generals), the attention core in Pallas, heads
     merged on exit. Mirrors attention_lanes.lane_attention's contract:
@@ -263,7 +263,9 @@ def transformer_block_attention(queries, keys, W_q, W_k, W_v, q_mask,
     V = proj(kt, W_v, T_k)
     km = jnp.transpose(k_mask, (1, 0)).astype(jnp.float32)  # (T_k, B)
     qm = jnp.transpose(q_mask, (1, 0)).astype(jnp.float32)  # (T_q, B)
-    out = block_attention(Q, K, V, km, qm, 1.0 / (D ** 0.5), blinding,
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    out = block_attention(Q, K, V, km, qm, scale, blinding,
                           float(mask_padding), interpret)
     return jnp.transpose(out.astype(cd), (3, 2, 0, 1)).reshape(
         B, T_q, H * D)
