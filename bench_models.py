@@ -145,6 +145,10 @@ def main(selected=None, mp=False, fused=False, fused_gru=False, scan=25,
         from deepctr_tpu.ops.attention_block import set_block_attention
 
         set_block_attention(False)
+    if os.environ.get("CIN") == "0":  # CIN-kernel A/B hook
+        from deepctr_tpu.ops.cin_kernel import set_cin_kernel
+
+        set_cin_kernel(False)
 
     rng = np.random.RandomState(0)
     # B_SEQ=8192: measured knee of the sequence-model batch sweep

@@ -176,8 +176,19 @@ class CIN(nn.Module):
             # "conv1d" contraction (reference interaction.py:287-306).
             # params cast to the compute dtype at use (bf16 under mixed
             # precision; the (B,*,D) intermediates carry the input's dtype)
-            z = jnp.einsum("bfd,bgd,fgs->bsd", inputs, hidden,
-                           W.astype(inputs.dtype)) + b[None, :, None].astype(inputs.dtype)
+            from ..ops import cin_kernel as cin_ops
+            if (cin_ops.cin_enabled()
+                    and cin_ops.cin_supported(F0, field_nums[-1], size,
+                                              B * D)):
+                # VMEM-resident outer product: the (B*D, F0*Fk) z
+                # intermediate never round-trips HBM (ops/cin_kernel.py)
+                z = cin_ops.cin_layer(
+                    inputs, hidden, W,
+                    interpret=cin_ops.cin_interpret())
+            else:
+                z = jnp.einsum("bfd,bgd,fgs->bsd", inputs, hidden,
+                               W.astype(inputs.dtype))
+            z = z + b[None, :, None].astype(inputs.dtype)
             z = activation_fn(self.activation)(z, training=training)
             if self.split_half:
                 if i != len(self.layer_size) - 1:

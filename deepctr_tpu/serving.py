@@ -142,6 +142,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     from .ops import embedding as emb_ops
     from .ops import gru as gru_ops
     from .ops import attention_block as blk_ops
+    from .ops import cin_kernel as cin_ops
     from .ops import small_vocab as sv_ops
 
     attn_was = (attn_ops.fused_attention_enabled(),
@@ -150,11 +151,13 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
     gru_was = (gru_ops.fused_gru_enabled(), gru_ops.fused_gru_interpret())
     sv_was = (sv_ops._STATE["enabled"], sv_ops._STATE["interpret"])
     blk_was = (blk_ops._STATE["enabled"], blk_ops._STATE["interpret"])
+    cin_was = (cin_ops._STATE["enabled"], cin_ops._STATE["interpret"])
     attn_ops.set_fused_attention(False)
     emb_ops.set_fused_gather_pool(False)
     gru_ops.set_fused_gru(False)
     sv_ops.set_small_vocab(False)
     blk_ops.set_block_attention(False)
+    cin_ops.set_cin_kernel(False)
     if bake_weights is None:
         bake_weights = _weights_nbytes(model) <= _BAKE_LIMIT_BYTES
     # remat only pays in the backward pass; keep inference artifacts plain
@@ -280,6 +283,7 @@ def export_stablehlo(model, path, example_batch, polymorphic_batch=True,
         gru_ops.set_fused_gru(*gru_was)
         sv_ops.set_small_vocab(*sv_was)
         blk_ops.set_block_attention(*blk_was)
+        cin_ops.set_cin_kernel(*cin_was)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
