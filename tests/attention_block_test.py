@@ -98,6 +98,7 @@ def test_transformer_routes_and_matches():
 
 def test_eligibility_and_dropout_fallback():
     assert block_attention_supported(50, 50, 16, 8192)      # BST
+    assert block_attention_supported(26, 26, 8, 32768)      # AutoInt criteo
     assert not block_attention_supported(10, 10, 8, 8192)   # lane tier
     assert not block_attention_supported(100, 100, 16, 8192)
     assert not block_attention_supported(50, 50, 16, 100)   # no block div
